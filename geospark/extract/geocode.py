@@ -1,0 +1,91 @@
+"""Geocoding extractor — pure vectorized function of the html bytes.
+
+North-rule invariant: extracted text per url is byte-identical across
+runs/engines.  Everything here is pandas `.str` vectorized (Arrow
+batches), no per-row Python in the hot path.
+
+Patterns (FIXTURES.md F1): `geo:E,N` → point; `bbox:x0,y0,x1,y1` →
+small polygon.  Text = html body with tags stripped (deterministic
+regex).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_TAG_RE = r"<[^>]*>"
+GEO_RE = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+BBOX_RE = r"bbox:(-?\d+\.\d+),(-?\d+\.\d+),(-?\d+\.\d+),(-?\d+\.\d+)"
+
+GEOCODE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page_id", LongType()),
+        StructField("text", StringType()),
+        StructField("kind", IntegerType()),  # 0 none, 1 point, 2 bbox
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ]
+)
+
+
+def extract_text_pd(html: pd.Series) -> pd.Series:
+    """Byte-identical text extraction: strip tags, collapse nothing
+    else (any change here is a contract break)."""
+    s = html.map(lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else b)
+    # drop head, strip tags
+    s = s.str.replace(r"<head>.*?</head>", "", regex=True)
+    s = s.str.replace(_TAG_RE, "", regex=True)
+    return s
+
+
+def geocode_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → one row per page with extracted text +
+    geometry fields.  Pure mapInPandas, fully vectorized."""
+    cols = pages.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            text = extract_text_pd(pdf["html"])
+            geo = text.str.extract(GEO_RE)
+            bbox = text.str.extract(BBOX_RE)
+            x = pd.to_numeric(geo[0], errors="coerce")
+            y = pd.to_numeric(geo[1], errors="coerce")
+            xmin = pd.to_numeric(bbox[0], errors="coerce")
+            ymin = pd.to_numeric(bbox[1], errors="coerce")
+            xmax = pd.to_numeric(bbox[2], errors="coerce")
+            ymax = pd.to_numeric(bbox[3], errors="coerce")
+            kind = np.where(x.notna(), 1, np.where(xmin.notna(), 2, 0)).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "page_id": pdf["page_id"] if "page_id" in pdf else np.arange(len(pdf)),
+                    "text": text,
+                    "kind": kind,
+                    "x": x,
+                    "y": y,
+                    "xmin": xmin,
+                    "ymin": ymin,
+                    "xmax": xmax,
+                    "ymax": ymax,
+                }
+            )
+
+    return pages.mapInPandas(run, schema=GEOCODE_SCHEMA)

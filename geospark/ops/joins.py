@@ -1,0 +1,237 @@
+"""Distributed spatial joins — the engine's centerpiece.
+
+Strategy (SURVEY.md §3.2 / §4.2): two-phase filter-refine re-expressed
+as a cell-key equi-join + vectorized refine:
+
+  build side (polygons)  → explode exact covering cells at a level
+                           chosen from the polygon size distribution
+  probe side (points)    → one cell per point (same level)
+  candidate pairs        → plain Catalyst equi-join on `cell`
+                           (broadcast when the build side is small,
+                           AQE-managed shuffle otherwise)
+  refine                 → mapInPandas: decode each polygon once per
+                           executor (LRU cache), vectorized
+                           point-in-polygon over the whole Arrow batch
+
+This mirrors the reference's R-tree probe + PreparedGeometry refine
+(index.clj:124-160) with the tree replaced by the cell fabric and the
+prepared-geometry cache replaced by an executor-level polygon cache.
+
+Skew (north rule: dense urban cells): optional salting fans hot cells
+out across `salt` partitions — build rows replicate per salt value,
+probe rows pick one deterministically.  AQE's skew-join handles the
+shuffle-size half of the problem; salting spreads the refine CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..cells.cellid import DEFAULT_GRID, CellGrid
+from ..functions import cell_of_point, cover_cells, wkb_to_points_np
+from ..geom import core as gc
+from ..geom import predicates as gpred
+
+_PRED_FNS = {
+    "intersects": gpred.intersects,
+    "contains": gpred.contains,
+    "covers": gpred.covers,
+    "covered_by": lambda a, b: gpred.covers(b, a),
+    "touches": gpred.touches,
+    "overlaps": gpred.overlaps,
+    "within": lambda a, b: gpred.contains(b, a),
+}
+
+# executor-level prepared polygon cache (poly_id → PreparedPolygon)
+_PREP_CACHE: dict = {}
+_PREP_CACHE_MAX = 4096
+
+
+def _prepared(key, wkb: bytes) -> gpred.PreparedPolygon:
+    pp = _PREP_CACHE.get(key)
+    if pp is None:
+        if len(_PREP_CACHE) >= _PREP_CACHE_MAX:
+            _PREP_CACHE.clear()
+        pp = gpred.PreparedPolygon(gc.from_wkb(wkb))
+        _PREP_CACHE[key] = pp
+    return pp
+
+
+def choose_level(polys: DataFrame, geom_col: str, grid: CellGrid, sample: int = 1000) -> int:
+    """Pick the cell level from the build side's median bbox extent —
+    cells ≈ the typical polygon size keep both the cover sets and the
+    per-cell candidate lists small."""
+    from ..functions import st_envelope
+
+    s = (
+        polys.select(st_envelope(F.col(geom_col)).alias("e"))
+        .select(
+            (F.col("e.xmax") - F.col("e.xmin")).alias("w"),
+            (F.col("e.ymax") - F.col("e.ymin")).alias("h"),
+        )
+        .limit(sample)
+        .agg(
+            F.expr("percentile_approx(greatest(w, h), 0.5)").alias("med"),
+        )
+        .collect()[0]
+    )
+    med = s["med"] or 1.0
+    return grid.level_for_size(max(med, 1e-9))
+
+
+def pip_join(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id: str = "poly_id",
+    poly_geom: str = "geom",
+    predicate: str = "intersects",
+    level: Optional[int] = None,
+    grid: CellGrid = DEFAULT_GRID,
+    broadcast: Optional[bool] = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Point-in-polygon (or other predicate) join.
+
+    points: (point_id, x, y, ...); polys: (poly_id, geom WKB, ...).
+    Returns (point_id, poly_id) candidate-exact pairs.
+
+    For point probes every predicate reduces to a point-location test:
+    intersects/covers(poly,pt) → loc != EXTERIOR; contains → strict
+    interior; touches → boundary (index.clj:145-160 refine modes).
+    """
+    if level is None:
+        level = choose_level(polys, poly_geom, grid)
+
+    build = polys.select(
+        F.col(poly_id).alias("__pid"),
+        F.col(poly_geom).alias("__pwkb"),
+        F.explode(cover_cells(level, grid)(F.col(poly_geom))).alias("__cell"),
+    )
+    probe = points.select(
+        F.col(point_id).alias("__qid"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+        cell_of_point(level, grid)(F.col(x_col), F.col(y_col)).alias("__cell"),
+    )
+    if salt > 1:
+        build = build.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        probe = probe.withColumn("__salt", F.pmod(F.xxhash64("__qid"), F.lit(salt)))
+        on = ["__cell", "__salt"]
+    else:
+        on = ["__cell"]
+
+    if broadcast is True:
+        build = F.broadcast(build)
+    cand = probe.join(build, on=on, how="inner")
+
+    pred = predicate
+    out_schema = StructType(
+        [
+            StructField("point_id", cand.schema["__qid"].dataType),
+            StructField("poly_id", cand.schema["__pid"].dataType),
+        ]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for pid, grp in pdf.groupby("__pid", sort=False):
+                pp = _prepared(("pip", pid), grp["__pwkb"].iloc[0])
+                px = grp["__x"].to_numpy(np.float64)
+                py = grp["__y"].to_numpy(np.float64)
+                loc = pp.locate_batch(px, py)
+                if pred in ("intersects", "covers"):
+                    keep = loc != gpred.EXTERIOR
+                elif pred == "contains":
+                    keep = loc == gpred.INTERIOR
+                elif pred == "touches":
+                    keep = loc == gpred.BOUNDARY
+                else:
+                    raise ValueError(f"unsupported point predicate {pred}")
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "point_id": grp["__qid"].to_numpy()[keep],
+                                "poly_id": pid,
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return cand.mapInPandas(refine, schema=out_schema)
+
+
+def predicate_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_geom: str,
+    right_id: str,
+    right_geom: str,
+    predicate: str = "intersects",
+    level: Optional[int] = None,
+    grid: CellGrid = DEFAULT_GRID,
+) -> DataFrame:
+    """General geometry×geometry predicate join (both sides WKB).
+
+    Cover-cell equi-join with dedupe on the pair, then an exact
+    predicate refine — the distributed form of index/intersecting,
+    touching, overlapping, covered-by (index.clj:145-160).
+    `predicate` orientation: predicate(left_geom, right_geom).
+    """
+    if level is None:
+        level = choose_level(right, right_geom, grid)
+    build = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_geom).alias("__rwkb"),
+        F.explode(cover_cells(level, grid)(F.col(right_geom))).alias("__cell"),
+    )
+    probe = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_geom).alias("__lwkb"),
+        F.explode(cover_cells(level, grid)(F.col(left_geom))).alias("__cell"),
+    )
+    cand = (
+        probe.join(build, on="__cell", how="inner")
+        .select("__lid", "__lwkb", "__rid", "__rwkb")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+    fn = _PRED_FNS[predicate]
+    out_schema = StructType(
+        [
+            StructField("left_id", cand.schema["__lid"].dataType),
+            StructField("right_id", cand.schema["__rid"].dataType),
+        ]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep_l, keep_r = [], []
+            for lid, lw, rid, rw in zip(
+                pdf["__lid"], pdf["__lwkb"], pdf["__rid"], pdf["__rwkb"]
+            ):
+                ga = gc.from_wkb(lw)
+                gb = gc.from_wkb(rw)
+                if ga.is_empty() or gb.is_empty():
+                    continue
+                if fn(ga, gb):
+                    keep_l.append(lid)
+                    keep_r.append(rid)
+            if keep_l:
+                yield pd.DataFrame({"left_id": keep_l, "right_id": keep_r})
+
+    return cand.mapInPandas(refine, schema=out_schema)
