@@ -1,0 +1,109 @@
+"""Cell layer + CRS tests."""
+
+import numpy as np
+import pytest
+
+from geospark.cells import cellid as CI
+from geospark.cells.coverage import cover_geometry
+from geospark.crs.osgb import bng_to_wgs84, reproject, transform_xy, wgs84_to_bng
+from geospark.geom import core as C
+
+
+def test_pack_unpack_roundtrip():
+    ix = np.array([0, 5, 1000, (1 << 20) - 1])
+    iy = np.array([0, 7, 999, 12345])
+    for level in (0, 5, 16, 20, 30):
+        n = 1 << level
+        jx, jy = ix % n, iy % n
+        cid = CI.pack(jx, jy, level)
+        l, ix2, iy2 = CI.unpack(cid)
+        assert (l == level).all() and (ix2 == jx).all() and (iy2 == jy).all()
+
+
+def test_parent_children():
+    cid = CI.pack(np.array([100]), np.array([200]), 10)
+    p = CI.parent(cid)
+    lvl, ix, iy = CI.unpack(p)
+    assert lvl[0] == 9 and ix[0] == 50 and iy[0] == 100
+    assert int(cid[0]) in CI.children(int(p[0]))
+
+
+def test_k_ring_and_shell():
+    cid = int(CI.pack(np.array([10]), np.array([10]), 8)[0])
+    assert len(CI.k_ring(cid, 1)) == 9
+    assert len(CI.k_ring(cid, 2)) == 25
+    assert len(CI.ring_only(cid, 1)) == 8
+    assert list(CI.ring_only(cid, 0)) == [cid]
+    # domain clipping at the corner
+    corner = int(CI.pack(np.array([0]), np.array([0]), 8)[0])
+    assert len(CI.k_ring(corner, 1)) == 4
+
+
+def test_compact_uncompact():
+    p = int(CI.pack(np.array([3]), np.array([5]), 9)[0])
+    ch = CI.children(p)
+    assert list(CI.compact(np.array(ch))) == [p]
+    back = CI.uncompact(np.array([p]), 10)
+    assert set(back.tolist()) == set(ch)
+    # partial sibling set stays put
+    assert len(CI.compact(np.array(ch[:3]))) == 3
+
+
+def test_point_cell_in_polygon_cover():
+    g = CI.CellGrid()
+    poly = C.from_wkt("POLYGON ((0 0, 1000 0, 1000 1000, 0 1000, 0 0))")
+    level = g.level_for_size(64.0)
+    cov = set(cover_geometry(poly, g, level).tolist())
+    xs = np.array([1.0, 500.0, 999.0, 0.0])
+    ys = np.array([1.0, 500.0, 999.0, 0.0])
+    cells = g.encode_points(xs, ys, level)
+    for c in cells:
+        assert int(c) in cov
+
+
+def test_exact_cover_prunes_diagonal():
+    g = CI.CellGrid()
+    tri = C.from_wkt("POLYGON ((0 0, 1000 1000, 1000 999, 0 0))")
+    level = g.level_for_size(64.0)
+    exact = cover_geometry(tri, g, level, exact=True)
+    bbox = cover_geometry(tri, g, level, exact=False)
+    assert len(exact) < len(bbox) / 3
+    # exact cover is a subset of bbox cover
+    assert set(exact.tolist()) <= set(bbox.tolist())
+
+
+class TestCRS:
+    def test_os_test_point(self):
+        # crs_test.clj:35-44: OS point, tolerance 0.01
+        lon, lat = bng_to_wgs84(651409.903, 313177.270)
+        assert abs(lon - 1.7179) < 0.01
+        assert abs(lat - 52.6576) < 0.01
+
+    def test_known_inverse_points(self):
+        # crs_test.clj:46-52 (proj4j exact values; we assert < 0.01 m)
+        E, N = wgs84_to_bng(-1.234932, 51.998410)
+        assert abs(E - 452622.19489624136) < 0.01
+        assert abs(N - 233605.77503933024) < 0.01
+        lon, lat = bng_to_wgs84(0.0, 1.0)
+        assert abs(lon - -7.557160831822298) < 0.001
+        assert abs(lat - 49.766816190946884) < 0.001
+
+    def test_roundtrip(self):
+        # crs_test.clj:61-64
+        lon, lat = bng_to_wgs84(651409.903, 313177.270)
+        E, N = wgs84_to_bng(lon, lat)
+        assert abs(E - 651409.903) < 0.01
+        assert abs(N - 313177.270) < 0.01
+
+    def test_reproject_geometry_source_untouched(self):
+        g = C.point(651409.903, 313177.270, 27700)
+        out = reproject(g, 27700, 4326)
+        assert out.srid == 4326
+        assert g.parts[0, 0] == 651409.903  # source untouched (crs_test.clj:57-59)
+
+    def test_unknown_crs_throws(self):
+        # crs_test.clj:31-33
+        with pytest.raises(ValueError):
+            transform_xy(1.0, 2.0, 999999999, 4326)
+        with pytest.raises(ValueError):
+            transform_xy(1.0, 2.0, 4326, 999999999)
