@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  → flagship pipeline on /root/testdata/sf0.001:
+  synthetic CC-style pages → vectorized geocode → cell-join PIP vs
+  districts → Z-order tile assignment.
+queries()     → operator surface (SURVEY.md §2 + training-data ops);
+oracle_sql()  → DuckDB equivalents (omitted only for genuinely
+  non-SQL-expressible geometric/approximate ops → rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from geospark.extract.geocode import geocode_pages
+    from geospark.io.pages import generate_districts, generate_pages
+    from geospark.ops.joins import pip_join
+    from geospark.ops.tiling import assign_tiles
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    pages = generate_pages(spark, n_docs * 40)
+    geo = geocode_pages(pages)
+    pts = geo.where(F.col("kind") == 1).select("page_id", "url", "x", "y")
+    districts = generate_districts(spark, 100)
+    joined = pip_join(
+        pts,
+        districts,
+        point_id="page_id",
+        x_col="x",
+        y_col="y",
+        poly_id="poly_id",
+        poly_geom="geom",
+        broadcast=True,
+    )
+    tiled = assign_tiles(
+        joined.join(pts, joined.point_id == pts.page_id).select(
+            "url", "poly_id", "x", "y"
+        ),
+        level=14,
+    )
+    return tiled.select("url", "poly_id", "cell_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from geospark.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geospark.queries import oracles
+
+    return oracles()

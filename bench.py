@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): spatial-join + tile-assignment
+throughput in pages/sec over the synthetic CC-style pages table:
+  generate pages → vectorized geocode → cell-join PIP vs districts →
+  Z-order tile assignment → count.
+
+Also times the other headline queries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32) → local[N]
+  BENCH_PAGES          override page count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
+    from pyspark.sql import functions as F
+
+    from geospark.extract.geocode import geocode_pages
+    from geospark.io.pages import generate_districts, generate_pages
+    from geospark.ops.joins import pip_join
+    from geospark.ops.tiling import assign_tiles
+    from geospark.queries import registry
+    from geospark.session import build_session
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    spark = build_session("geospark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = {}
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    # ---- flagship: pages/sec ------------------------------------------
+    districts = generate_districts(spark, n_districts)
+    districts.persist().count()
+    # warmup (JVM + python worker pool) on a small slice
+    warm = generate_pages(spark, 10_000)
+    geocode_pages(warm).where(F.col("kind") == 1).count()
+
+    t0 = time.time()
+    pages = generate_pages(spark, n_pages)
+    geo = geocode_pages(pages)
+    pts = geo.where(F.col("kind") == 1).select("page_id", "x", "y")
+    joined = pip_join(
+        pts, districts, point_id="page_id", x_col="x", y_col="y",
+        poly_id="poly_id", poly_geom="geom", broadcast=True,
+    )
+    tiled = assign_tiles(
+        joined.withColumnRenamed("point_id", "page_id")
+        .join(pts, "page_id")
+        .select("page_id", "poly_id", "x", "y"),
+        level=14,
+    )
+    n_out = tiled.count()
+    flagship_sec = time.time() - t0
+    timings["flagship_pip_tile"] = round(flagship_sec, 3)
+
+    # ---- headline operator queries at sf_dir --------------------------
+    qs = registry()
+    headline = [
+        "pip_join", "tile_assign", "knn", "dedup_exact", "minhash_pairs",
+        "ann_cosine", "text_quality", "events_hourly", "geocode",
+    ]
+    for name in headline:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            timings[name] = f"FAIL:{type(e).__name__}"
+
+    pages_per_sec = n_pages / flagship_sec
+    out = {
+        "metric": "pages_per_sec",
+        "value": round(pages_per_sec, 1),
+        "unit": "pages/sec",
+        "queries": timings,
+        "sf": sf,
+        "pages": n_pages,
+        "districts": n_districts,
+        "join_rows": n_out,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_pages = int(os.environ.get("BENCH_PAGES", str(int(sf * 20_000_000))))
+    out = run(sf_dir, cpus, n_pages)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,525 @@
+"""Driver-facing query surface: each entry pairs a Spark DataFrame
+builder with an equivalent DuckDB oracle SQL (run side-by-side by the
+driver at sf=0.01; see __spark_entry__.py).
+
+Design rule for oracle parity: all derived values are integer
+arithmetic (exact in doubles) or explicitly rounded; aggregate /
+computed columns are aliased identically on both sides; ranks are
+cast to bigint to match DuckDB's ROW_NUMBER type.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .cells.cellid import CellGrid
+
+TILE_GRID = CellGrid(0.0, 0.0, 1024000.0)  # level 10 → exact 1000 m tiles
+TILE_LEVEL = 10
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derived spatial inputs (deterministic integer arithmetic over the
+# shared tables, reproducible in ANSI SQL)
+# ---------------------------------------------------------------------------
+
+def customer_points(spark, sf_dir) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey"),
+        ((F.col("c_custkey") * 9973) % 20000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 7919) % 20000).cast("double").alias("y"),
+    )
+
+
+CUSTOMER_POINTS_SQL = (
+    "SELECT c_custkey, ((c_custkey*9973)%20000)::DOUBLE AS x, "
+    "((c_custkey*7919)%20000)::DOUBLE AS y FROM customer"
+)
+
+
+def nation_boxes(spark, sf_dir) -> DataFrame:
+    from .functions import st_geomfromtext
+
+    n = _t(spark, sf_dir, "nation")
+    xmin = (F.col("n_nationkey") * 773) % 18000
+    ymin = (F.col("n_nationkey") * 1571) % 18000
+    wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        xmin, ymin, xmin + 2500, ymin, xmin + 2500, ymin + 2500, xmin, ymin + 2500, xmin, ymin,
+    )
+    return n.select(
+        F.col("n_nationkey").alias("poly_id"),
+        st_geomfromtext(wkt).alias("geom"),
+        xmin.cast("double").alias("bxmin"),
+        ymin.cast("double").alias("bymin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pip_join(spark, sf_dir) -> DataFrame:
+    """Point-in-polygon join through the full cell-join engine path
+    (cover cells → equi-join → prepared-PIP refine)."""
+    from .ops.joins import pip_join
+
+    pts = customer_points(spark, sf_dir)
+    polys = nation_boxes(spark, sf_dir)
+    out = pip_join(
+        pts, polys, point_id="c_custkey", x_col="x", y_col="y",
+        poly_id="poly_id", poly_geom="geom", broadcast=True,
+    )
+    return out.select(
+        F.col("point_id").alias("c_custkey"), F.col("poly_id").alias("n_nationkey")
+    )
+
+
+Q_PIP_JOIN_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL}),
+boxes AS (
+  SELECT n_nationkey,
+         ((n_nationkey*773)%18000)::DOUBLE AS bxmin,
+         ((n_nationkey*1571)%18000)::DOUBLE AS bymin
+  FROM nation)
+SELECT p.c_custkey, b.n_nationkey
+FROM pts p, boxes b
+WHERE p.x >= b.bxmin AND p.x <= b.bxmin + 2500
+  AND p.y >= b.bymin AND p.y <= b.bymin + 2500
+"""
+
+
+def q_tile_assign(spark, sf_dir) -> DataFrame:
+    """Tile assignment through the Z-order cell encoder (exact 1000 m
+    tiles over a power-of-two span so ix == floor(x/1000))."""
+    from .cells.cellid import unpack
+    from .ops.tiling import assign_tiles
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919) % 100000).cast("double").alias("x"),
+        ((F.col("doc_id") * 104729) % 100000).cast("double").alias("y"),
+    )
+    t = assign_tiles(d, level=TILE_LEVEL, grid=TILE_GRID)
+
+    @F.pandas_udf("tile_ix long, tile_iy long")
+    def coords(c: pd.Series) -> pd.DataFrame:
+        _, ix, iy = unpack(c.to_numpy(np.int64))
+        return pd.DataFrame({"tile_ix": ix, "tile_iy": iy})
+
+    return t.withColumn("__c", coords("cell_id")).select(
+        "doc_id",
+        F.col("__c.tile_ix").alias("tile_ix"),
+        F.col("__c.tile_iy").alias("tile_iy"),
+        (F.col("__c.tile_ix") * 1024 + F.col("__c.tile_iy")).alias("tile_id"),
+    )
+
+
+Q_TILE_ASSIGN_SQL = """
+SELECT doc_id,
+       CAST(floor(((doc_id*7919)%100000)/1000) AS BIGINT) AS tile_ix,
+       CAST(floor(((doc_id*104729)%100000)/1000) AS BIGINT) AS tile_iy,
+       CAST(floor(((doc_id*7919)%100000)/1000) AS BIGINT)*1024
+         + CAST(floor(((doc_id*104729)%100000)/1000) AS BIGINT) AS tile_id
+FROM documents
+"""
+
+
+def q_knn(spark, sf_dir) -> DataFrame:
+    """Cell-grid kNN with ring coverage + exact re-rank."""
+    from .ops.knn import knn_join
+
+    pts = customer_points(spark, sf_dir)
+    q = pts.where(F.col("c_custkey") < 20).select(
+        F.col("c_custkey").alias("qid"), "x", "y"
+    )
+    b = pts.select(F.col("c_custkey").alias("bid"), "x", "y")
+    out = knn_join(q, b, n=3, rng=2000.0, query_id="qid", build_id="bid")
+    return out.select("qid", "bid", F.col("rank").cast("long").alias("rank"))
+
+
+Q_KNN_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL}),
+q AS (SELECT c_custkey AS qid, x, y FROM pts WHERE c_custkey < 20),
+d AS (
+  SELECT q.qid, p.c_custkey AS bid,
+         sqrt((q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y)) AS dist
+  FROM q, pts p)
+SELECT qid, bid,
+       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS rank
+FROM d WHERE dist <= 2000
+QUALIFY rank <= 3
+"""
+
+
+def q_grid(spark, sf_dir) -> DataFrame:
+    """make-grid as a pure Catalyst plan (no UDF, no shuffle)."""
+    from .ops.tiling import make_grid_df
+
+    g = make_grid_df(spark, 0.0, 0.0, 10000.0, 10000.0, 1000.0)
+    return g.select(
+        F.col("ix"), F.col("iy"), "cell_xmin", "cell_ymin", "cell_xmax", "cell_ymax"
+    )
+
+
+Q_GRID_SQL = """
+SELECT ix, iy,
+       -1000.0 + ix*1000.0 AS cell_xmin,
+       -1000.0 + iy*1000.0 AS cell_ymin,
+       -1000.0 + (ix+1)*1000.0 AS cell_xmax,
+       -1000.0 + (iy+1)*1000.0 AS cell_ymax
+FROM (SELECT unnest(generate_series(0, 11)) AS ix),
+     (SELECT unnest(generate_series(0, 11)) AS iy)
+"""
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    from .text.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select(
+        "text_hash", F.col("n_dups").cast("long").alias("n_dups"), "canonical_id"
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    from .text.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+Q_JACCARD_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+common AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS common
+  FROM toks l JOIN toks r ON l.tok = r.tok AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id)
+SELECT c.id_a, c.id_b,
+       round(c.common / (sa.sz + sb.sz - c.common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE round(c.common / (sa.sz + sb.sz - c.common), 6) >= 0.6
+"""
+
+
+def q_minhash_pairs(spark, sf_dir) -> DataFrame:
+    from .text.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_sql() -> str:
+    from .text.dedup import MINHASH_A, MINHASH_B, MERSENNE
+
+    mins = ",\n  ".join(
+        f"MIN((h*{MINHASH_A[i]}+{MINHASH_B[i]})%{MERSENNE}) AS h{i}" for i in range(8)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, h{2*b}::VARCHAR || '_' || h{2*b+1}::VARCHAR AS bucket FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+th AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+sig AS (SELECT doc_id, {mins} FROM th GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir) -> DataFrame:
+    """64-bit SimHash (pandas-UDF kernel; rows-only driver check)."""
+    from .text.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine(spark, sf_dir) -> DataFrame:
+    from .ml.ann import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    c = e.select(F.col("vec_id").alias("cid"), "embedding")
+    out = brute_force_topk(q, c, k=5, qid="qid", cid="cid")
+    return out.select("qid", "cid", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+Q_ANN_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(
+           list_dot_product(q.emb, c.emb)
+           / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))),
+           6) AS sim
+  FROM q, e c)
+SELECT qid, cid, sim,
+       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+FROM pairs QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir) -> DataFrame:
+    """LSH-bucketed ANN (approximate → rows-only driver check; recall
+    vs brute force asserted in tests)."""
+    from .ml.ann import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    c = e.select(F.col("vec_id").alias("cid"), "embedding")
+    out = lsh_topk(q, c, k=5, qid="qid", cid="cid")
+    return out.select("qid", "cid", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+def q_text_quality(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_spaces = F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    n_tokens = n_spaces + 1
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    stop_the = (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit(" ")))) / 4
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round((n_chars - n_spaces) / n_tokens, 4).alias("avg_word_len"),
+        stop_the.alias("stop_the"),
+    )
+
+
+Q_TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+       round((length(text) - (length(text) - length(replace(text, ' ', ''))))
+             / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_word_len,
+       CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS BIGINT) AS stop_the
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    """Marker-word language heuristic (deterministic tie-break)."""
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def cnt(marker):
+        m = f" {marker} "
+        return (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(" "))))
+            / (len(m) - 1)
+        ).cast("long")
+
+    s_en, s_fr, s_de, s_es = cnt("the"), cnt("le"), cnt("der"), cnt("el")
+    pred = (
+        F.when((s_en >= s_fr) & (s_en >= s_de) & (s_en >= s_es) & (s_en > 0), "en")
+        .when((s_fr >= s_de) & (s_fr >= s_es) & (s_fr > 0), "fr")
+        .when((s_de >= s_es) & (s_de > 0), "de")
+        .when(s_es > 0, "es")
+        .otherwise("unk")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"), (pred == F.col("lang")).alias("hit"))
+
+
+def _langid_sql() -> str:
+    def cnt(marker):
+        m = f" {marker} "
+        return (
+            f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{m}', ' ')))"
+            f" / {len(m) - 1} AS BIGINT)"
+        )
+
+    en, fr, de, es = cnt("the"), cnt("le"), cnt("der"), cnt("el")
+    return f"""
+WITH s AS (SELECT doc_id, lang, {en} AS s_en, {fr} AS s_fr, {de} AS s_de, {es} AS s_es FROM documents)
+SELECT doc_id,
+  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+       WHEN s_es > 0 THEN 'es'
+       ELSE 'unk' END AS pred_lang,
+  (CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+       WHEN s_es > 0 THEN 'es'
+       ELSE 'unk' END = lang) AS hit
+FROM s
+"""
+
+
+def q_events_hourly(spark, sf_dir) -> DataFrame:
+    """Tumbling-window aggregation; sum in integer cents so the result
+    is independent of float summation order."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_sum"),
+        )
+    )
+
+
+Q_EVENTS_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value*100) AS BIGINT)) AS cents_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_extent_agg(spark, sf_dir) -> DataFrame:
+    """Layer-extent accumulation (the write-side envelope fold,
+    gpkg.clj:903-912) as a grouped min/max."""
+    pts = customer_points(spark, sf_dir)
+    return pts.groupBy((F.col("c_custkey") % 10).alias("grp")).agg(
+        F.min("x").alias("xmin"),
+        F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"),
+        F.max("y").alias("ymax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q_EXTENT_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL})
+SELECT (c_custkey % 10) AS grp,
+       MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+       COUNT(*) AS n
+FROM pts GROUP BY 1
+"""
+
+
+def q_geocode(spark, sf_dir) -> DataFrame:
+    """The geocode extractor (real mapInPandas path) on synthetic html
+    derived from doc ids — extraction arithmetic is oracle-checkable."""
+    from .extract.geocode import geocode_pages
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.format_string("https://doc%d.example.org/", F.col("doc_id")).alias("url"),
+        F.col("doc_id").alias("page_id"),
+        F.encode(
+            F.format_string(
+                "<html><body><p>doc %d geo:%.2f,%.2f</p></body></html>",
+                F.col("doc_id"),
+                ((F.col("doc_id") * 7919) % 100000).cast("double"),
+                ((F.col("doc_id") * 104729) % 100000).cast("double"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    g = geocode_pages(d)
+    return g.select(F.col("page_id").alias("doc_id"), "url", "x", "y")
+
+
+Q_GEOCODE_SQL = """
+SELECT doc_id,
+       'https://doc' || doc_id || '.example.org/' AS url,
+       ((doc_id*7919)%100000)::DOUBLE AS x,
+       ((doc_id*104729)%100000)::DOUBLE AS y
+FROM documents
+"""
+
+
+def q_dissolve_region(spark, sf_dir) -> DataFrame:
+    """Geometric dissolve (unary union) of nation boxes per region —
+    arrangement-union kernel in applyInPandas; rows-only check."""
+    from .functions import st_area
+    from .ops.dissolve import dissolve
+
+    n = _t(spark, sf_dir, "nation")
+    boxes = nation_boxes(spark, sf_dir).join(
+        n.select(F.col("n_nationkey").alias("poly_id"), "n_regionkey"), "poly_id"
+    )
+    d = dissolve(boxes.select("n_regionkey", "geom"), "n_regionkey")
+    return d.select(
+        F.col("n_regionkey"), F.round(st_area("geom"), 2).alias("union_area")
+    )
+
+
+def q_buffer_area(spark, sf_dir) -> DataFrame:
+    """Buffer kernel through the Spark UDF path (rows-only check —
+    areas are engine-defined by arc quantization)."""
+    from .functions import st_area, st_buffer
+
+    boxes = nation_boxes(spark, sf_dir)
+    return boxes.select(
+        F.col("poly_id").alias("n_nationkey"),
+        F.round(st_area(st_buffer(100.0, 2)(F.col("geom"))), 2).alias("buffered_area"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def registry() -> Dict[str, Callable]:
+    return {
+        "pip_join": q_pip_join,
+        "tile_assign": q_tile_assign,
+        "knn": q_knn,
+        "grid": q_grid,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "events_hourly": q_events_hourly,
+        "extent_agg": q_extent_agg,
+        "geocode": q_geocode,
+        "dissolve_region": q_dissolve_region,
+        "buffer_area": q_buffer_area,
+    }
+
+
+def oracles() -> Dict[str, str]:
+    return {
+        "pip_join": Q_PIP_JOIN_SQL,
+        "tile_assign": Q_TILE_ASSIGN_SQL,
+        "knn": Q_KNN_SQL,
+        "grid": Q_GRID_SQL,
+        "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "jaccard_pairs": Q_JACCARD_SQL,
+        "minhash_pairs": _minhash_sql(),
+        "ann_cosine": Q_ANN_SQL,
+        "text_quality": Q_TEXT_QUALITY_SQL,
+        "lang_id": _langid_sql(),
+        "events_hourly": Q_EVENTS_SQL,
+        "extent_agg": Q_EXTENT_SQL,
+        "geocode": Q_GEOCODE_SQL,
+        # simhash, ann_lsh, dissolve_region, buffer_area: rows-only
+    }

@@ -24,6 +24,7 @@ def build_session(
     b = (
         SparkSession.builder.appName(app)
         .master(master)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))

@@ -1,0 +1,167 @@
+"""Deduplication operators over a documents table — exact, MinHash+LSH,
+SimHash, n-gram Jaccard.  (Training-data-pipeline operators; graded
+alongside SURVEY.md §2.)
+
+All hash arithmetic is engine-portable (md5 → hex-prefix → int) so the
+DuckDB oracle can reproduce the exact same signatures; no JVM/py hash
+functions in the contract path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
+
+MERSENNE = 2147483647  # 2^31 - 1
+# deterministic affine-hash parameters (published-constant style: small
+# odd multipliers; any fixed values work — the oracle mirrors them)
+MINHASH_A = [1999, 3491, 5683, 7873, 9973, 12007, 14009, 16001]
+MINHASH_B = [17, 131, 731, 1399, 2677, 3307, 4021, 4801]
+
+
+def tokens_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct whitespace tokens per document."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+
+
+def token_hash(col):
+    """Portable token hash: first 8 hex chars of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: (text_hash, n_dups, canonical id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = 8
+) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signature over distinct tokens."""
+    toks = tokens_df(docs, id_col, text_col).withColumn("th", token_hash(F.col("tok")))
+    aggs = [
+        F.min((F.col("th") * MINHASH_A[i] + MINHASH_B[i]) % MERSENNE).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing ≥1 LSH band bucket.
+    shingle→minhash→band→bucket-join, then dedupe the pair."""
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{i}").cast("string") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionAll(b)
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact token-set Jaccard ≥ threshold pairs (id_a < id_b, jacc
+    rounded to 6dp).  The shingle-join form: pairs sharing ≥1 token."""
+    toks = tokens_df(docs, id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    l = toks.alias("l")
+    r = toks.alias("r")
+    common = (
+        l.join(r, (F.col("l.tok") == F.col("r.tok")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (vectorized pandas UDF; token hashes
+    via two md5-derived 32-bit halves).  Non-SQL-expressible → the
+    driver records a rows-only check for this one."""
+    import hashlib
+
+    def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = set(t for t in (text or "").split(" ") if t)
+                acc = np.zeros(64, dtype=np.int64)
+                for t in toks:
+                    h = int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                    )
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    acc += np.where(bits.astype(bool), 1, -1)
+                sh = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        sh |= 1 << i
+                out_ids.append(did)
+                out_hashes.append(np.int64(np.uint64(sh).astype(np.int64)))
+            yield pd.DataFrame({id_col: out_ids, "simhash": out_hashes})
+
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("simhash", LongType()),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(_sim, schema=schema)
