@@ -111,40 +111,45 @@ def _build_rows(ids: np.ndarray, seed: int) -> pd.DataFrame:
     w2 = WORDS[(_h(ids, 10, seed) % np.uint64(len(WORDS))).astype(np.int64)]
     w3 = WORDS[(_h(ids, 11, seed) % np.uint64(len(WORDS))).astype(np.int64)]
 
-    urls, htmls, texts = [], [], []
     ts = pd.to_datetime(
         1490000000 + (ids.astype(np.int64) % 86400) * 37 + ids.astype(np.int64) // 86400,
         unit="s",
     )
     half = 150.0
-    for i in range(n):
-        pid = int(ids[i])
-        url = f"https://site{pid % 997}.example.org/page/{pid}"
-        body = f"{w1[i]} {w2[i]} {w3[i]} " * int(nw[i] // 3 + 1)
-        body = body.strip()
-        if kind[i] == 1:
-            geo = f"geo:{x[i]:.2f},{y[i]:.2f}"
-            body_geo = f"{body} {geo}"
-        elif kind[i] == 2:
-            geo = (
-                f"bbox:{max(0.0, x[i]-half):.2f},{max(0.0, y[i]-half):.2f},"
-                f"{x[i]+half:.2f},{y[i]+half:.2f}"
-            )
-            body_geo = f"{body} {geo}"
-        else:
-            body_geo = body
-        html = f"<html><head><title>p{pid}</title></head><body><p>{body_geo}</p></body></html>"
-        urls.append(url)
-        htmls.append(html.encode("utf-8"))
-        texts.append(body_geo)
+    sid = ids.astype(np.int64)
+    urls = np.char.add(
+        np.char.add("https://site", (sid % 997).astype(str)),
+        np.char.add(".example.org/page/", sid.astype(str)),
+    )
+    base = np.char.add(np.char.add(np.char.add(np.char.add(w1, " "), w2), " "), np.char.add(w3, " "))
+    reps = (nw // 3 + 1).astype(np.int64)
+    body = np.char.rstrip(np.strings.multiply(base, reps) if hasattr(np, "strings") else np.char.multiply(base, reps))
+    f2 = lambda a: np.char.mod("%.2f", a)
+    geo_pt = np.char.add(np.char.add(np.char.add("geo:", f2(x)), ","), f2(y))
+    geo_bb = np.char.add(
+        np.char.add(
+            np.char.add(np.char.add(np.char.add("bbox:", f2(np.maximum(0.0, x - half))), ","), f2(np.maximum(0.0, y - half))),
+            ",",
+        ),
+        np.char.add(np.char.add(f2(x + half), ","), f2(y + half)),
+    )
+    suffix = np.where(kind == 1, np.char.add(" ", geo_pt), np.where(kind == 2, np.char.add(" ", geo_bb), ""))
+    text = np.char.add(body, suffix)
+    html = np.char.add(
+        np.char.add(
+            np.char.add(np.char.add("<html><head><title>p", sid.astype(str)), "</title></head><body><p>"),
+            text,
+        ),
+        "</p></body></html>",
+    )
     return pd.DataFrame(
         {
             "url": urls,
             "warc_ts": ts,
-            "html": htmls,
-            "text": texts,
+            "html": [h.encode("utf-8") for h in html],
+            "text": text,
             "lang": lang,
-            "page_id": ids.astype(np.int64),
+            "page_id": sid,
         }
     )
 
