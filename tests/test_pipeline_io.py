@@ -1,0 +1,92 @@
+"""Resumable pipeline + GeoJSON + multimodal plumbing tests."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from geospark.geom import core as C
+
+
+def test_pipeline_resume(spark, tmp_path):
+    from geospark.run.pipeline import Pipeline, SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    calls = {"a": 0, "b": 0, "c": 0}
+
+    def mk(name, fail=False):
+        def fn(s, outputs):
+            calls[name] += 1
+            if fail:
+                raise RuntimeError("boom")
+            if name == "a":
+                return s.range(100)
+            prev = outputs["a" if name == "b" else "b"]
+            return prev.withColumnRenamed(prev.columns[0], name)
+
+        return fn
+
+    p = Pipeline(spark, cat, "run1").stage("a", mk("a")).stage("b", mk("b")).stage("c", mk("c", fail=True))
+    with pytest.raises(RuntimeError):
+        p.run(verbose=False)
+    assert calls == {"a": 1, "b": 1, "c": 1}
+
+    # resume: a and b are committed snapshots, only c re-runs
+    p2 = Pipeline(spark, cat, "run1").stage("a", mk("a")).stage("b", mk("b")).stage("c", mk("c"))
+    out = p2.run(verbose=False)
+    assert calls == {"a": 1, "b": 1, "c": 2}
+    assert out["c"].count() == 100
+
+    # lineage has per-partition rows for all committed stages
+    lin = cat.lineage(spark).toPandas()
+    assert set(lin["stage"]) == {"a", "b", "c"}
+    assert (lin["rows_out"] > 0).any()
+    assert (lin["run_id"] == "run1").all()
+
+
+def test_snapshot_catalog_commit_visibility(spark, tmp_path):
+    from geospark.run.pipeline import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat2"))
+    assert cat.latest("t") is None
+    m1 = cat.write(spark.range(10), "t")
+    m2 = cat.write(spark.range(20), "t")
+    assert cat.latest("t")["snapshot_id"] == m2["snapshot_id"]
+    # time travel to first snapshot
+    assert cat.read(spark, "t", m1["snapshot_id"]).count() == 10
+    assert cat.read(spark, "t").count() == 20
+
+
+def test_geojson_reader(tmp_path):
+    from geospark.io.geojson import read_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "sq", "pop": 7},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "pt"},
+                "geometry": {"type": "Point", "coordinates": [5, 6]},
+            },
+        ],
+    }
+    rows = read_geojson(json.dumps(fc))
+    assert len(rows) == 2
+    g0 = C.from_wkb(rows[0]["geometry"])
+    assert g0.gtype == C.POLYGON and rows[0]["name"] == "sq" and rows[0]["pop"] == 7
+    assert C.geom_eq(C.from_wkb(rows[1]["geometry"]), C.point(5, 6))
+    # bare geometry accepted
+    bare = read_geojson('{"type": "Point", "coordinates": [1, 2]}')
+    assert C.geom_eq(C.from_wkb(bare[0]["geometry"]), C.point(1, 2))
+    # garbage rejected
+    with pytest.raises(ValueError):
+        read_geojson('{"type": "Nope"}')
