@@ -43,13 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
         poly_id="poly_id",
         poly_geom="geom",
         broadcast=True,
+        keep_cols=["url", "x", "y"],
     )
-    tiled = assign_tiles(
-        joined.join(pts, joined.point_id == pts.page_id).select(
-            "url", "poly_id", "x", "y"
-        ),
-        level=14,
-    )
+    tiled = assign_tiles(joined, level=14)
     return tiled.select("url", "poly_id", "cell_id")
 
 

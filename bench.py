@@ -54,13 +54,9 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
     joined = pip_join(
         pts, districts, point_id="page_id", x_col="x", y_col="y",
         poly_id="poly_id", poly_geom="geom", broadcast=True,
+        keep_cols=["x", "y"],
     )
-    tiled = assign_tiles(
-        joined.withColumnRenamed("point_id", "page_id")
-        .join(pts, "page_id")
-        .select("page_id", "poly_id", "x", "y"),
-        level=14,
-    )
+    tiled = assign_tiles(joined, level=14)
     n_out = tiled.count()
     flagship_sec = time.time() - t0
     timings["flagship_pip_tile"] = round(flagship_sec, 3)

@@ -100,11 +100,14 @@ def pip_join(
     grid: CellGrid = DEFAULT_GRID,
     broadcast: Optional[bool] = None,
     salt: int = 0,
+    keep_cols: Optional[list] = None,
 ) -> DataFrame:
     """Point-in-polygon (or other predicate) join.
 
     points: (point_id, x, y, ...); polys: (poly_id, geom WKB, ...).
-    Returns (point_id, poly_id) candidate-exact pairs.
+    Returns (point_id, poly_id [, *keep_cols]) candidate-exact pairs —
+    keep_cols are probe-side columns carried through the join so the
+    caller doesn't need a second pass over the (expensive) probe input.
 
     For point probes every predicate reduces to a point-location test:
     intersects/covers(poly,pt) → loc != EXTERIOR; contains → strict
@@ -132,11 +135,13 @@ def pip_join(
         }
         poly_bc = spark.sparkContext.broadcast(poly_map)
         build = build.drop("__pwkb")
+    keep_cols = [c for c in (keep_cols or []) if c not in (point_id,)]
     probe = points.select(
         F.col(point_id).alias("__qid"),
         F.col(x_col).alias("__x"),
         F.col(y_col).alias("__y"),
         cell_of_point(level, grid)(F.col(x_col), F.col(y_col)).alias("__cell"),
+        *[F.col(c) for c in keep_cols],
     )
     if salt > 1:
         build = build.withColumn(
@@ -157,6 +162,7 @@ def pip_join(
             StructField("point_id", cand.schema["__qid"].dataType),
             StructField("poly_id", cand.schema["__pid"].dataType),
         ]
+        + [StructField(c, cand.schema[c].dataType) for c in keep_cols]
     )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -191,7 +197,10 @@ def pip_join(
                 else:
                     raise ValueError(f"unsupported point predicate {pred}")
             if keep.any():
-                yield pd.DataFrame({"point_id": qid[keep], "poly_id": pid[keep]})
+                out = {"point_id": qid[keep], "poly_id": pid[keep]}
+                for c in keep_cols:
+                    out[c] = pdf[c].to_numpy()[order][keep]
+                yield pd.DataFrame(out)
 
     return cand.mapInPandas(refine, schema=out_schema)
 
