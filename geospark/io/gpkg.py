@@ -1,0 +1,423 @@
+"""GeoPackage source & sink over the stdlib sqlite3 driver.
+
+Reference surface (gpkg.clj): open (per-table iterator + optional
+reprojection + column projection + rowids), write (metadata bootstrap,
+SRS rows, batched inserts, extent tracking, if-exists modes), amend
+(join-update by rowid with 4 methods), table-names / column-names /
+geometry-column introspection, drop-table.
+
+Spark mapping: the GeoPackage file is a *boundary* format — read
+lands in a DataFrame (geometry re-encoded as plain WKB + srid), write
+streams `toLocalIterator()` through batched INSERTs (reference batch
+size 4000, gpkg.clj:1074).  SQLite is single-writer, so the sink is a
+driver-side stream; engine-internal storage stays parquet/snapshot
+tables (SURVEY.md §2.A).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+import sqlite3
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..geom import core as gc
+from . import gpb
+
+APPLICATION_ID = 0x47504B47  # "GPKG"
+USER_VERSION = 10300
+
+_GEOM_TYPE_NAMES = {
+    gc.POINT: "POINT",
+    gc.LINESTRING: "LINESTRING",
+    gc.POLYGON: "POLYGON",
+    gc.MULTIPOINT: "MULTIPOINT",
+    gc.MULTILINESTRING: "MULTILINESTRING",
+    gc.MULTIPOLYGON: "MULTIPOLYGON",
+    gc.GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+
+WGS84_DEF = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+)
+BNG_DEF = (
+    'PROJCS["OSGB 1936 / British National Grid",GEOGCS["OSGB 1936",'
+    'DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,299.3249646]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"]]'
+)
+
+
+def _bootstrap(con: sqlite3.Connection):
+    """Create the GeoPackage core metadata (spec tables + PRAGMAs +
+    default SRS rows; reference gpkg.clj:221-244)."""
+    con.execute(f"PRAGMA application_id = {APPLICATION_ID}")
+    con.execute(f"PRAGMA user_version = {USER_VERSION}")
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (
+             srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY,
+             organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+             definition TEXT NOT NULL, description TEXT)"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_contents (
+             table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+             identifier TEXT UNIQUE, description TEXT DEFAULT '',
+             last_change DATETIME NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')),
+             min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+             srs_id INTEGER,
+             CONSTRAINT fk_gc_r_srs_id FOREIGN KEY (srs_id) REFERENCES gpkg_spatial_ref_sys(srs_id))"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (
+             table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+             geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+             z TINYINT NOT NULL, m TINYINT NOT NULL,
+             CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"""
+    )
+    for srs_id, name, org_id, definition in [
+        (-1, "undefined cartesian", -1, "undefined"),
+        (0, "undefined geographic", 0, "undefined"),
+        (4326, "WGS 84", 4326, WGS84_DEF),
+    ]:
+        con.execute(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+            (name, srs_id, "EPSG" if srs_id > 0 else "NONE", org_id, definition),
+        )
+
+
+def _ensure_srs(con: sqlite3.Connection, srid: int):
+    if srid == 27700:
+        con.execute(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+            ("OSGB 1936 / British National Grid", 27700, "EPSG", 27700, BNG_DEF),
+        )
+    elif srid not in (0, -1, 4326):
+        con.execute(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+            (f"EPSG:{srid}", srid, "EPSG", srid, "undefined"),
+        )
+
+
+def table_names(path: str, spatial_only: bool = False) -> List[str]:
+    """User tables (gpkg.clj:311-328)."""
+    con = sqlite3.connect(path)
+    try:
+        if spatial_only or _has_table(con, "gpkg_contents"):
+            rows = con.execute(
+                "SELECT table_name FROM gpkg_contents"
+                + (" WHERE data_type='features'" if spatial_only else "")
+            ).fetchall()
+            return [r[0] for r in rows]
+        rows = con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' AND name NOT LIKE 'gpkg_%' AND name NOT LIKE 'sqlite_%' AND name NOT LIKE 'rtree_%'"
+        ).fetchall()
+        return [r[0] for r in rows]
+    finally:
+        con.close()
+
+
+def _has_table(con, name) -> bool:
+    return (
+        con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?", (name,)
+        ).fetchone()
+        is not None
+    )
+
+
+def geometry_column(path: str, table: str) -> Optional[Tuple[str, str, int]]:
+    """(column, type name, srid) for a spatial table (gpkg.clj:330-362)."""
+    con = sqlite3.connect(path)
+    try:
+        if not _has_table(con, "gpkg_geometry_columns"):
+            return None
+        row = con.execute(
+            "SELECT column_name, geometry_type_name, srs_id FROM gpkg_geometry_columns WHERE table_name=?",
+            (table,),
+        ).fetchone()
+        return tuple(row) if row else None
+    finally:
+        con.close()
+
+
+def column_names(path: str, table: str) -> List[str]:
+    con = sqlite3.connect(path)
+    try:
+        return [r[1] for r in con.execute(f'PRAGMA table_info("{table}")')]
+    finally:
+        con.close()
+
+
+def read_gpkg(
+    spark,
+    path: str,
+    table: Optional[str] = None,
+    to_srid: Optional[int] = None,
+    columns: Optional[List[str]] = None,
+    rowids: bool = False,
+):
+    """GeoPackage → DataFrame.  Geometry column becomes plain WKB
+    `geom` + `srid` int; multiple tables chain (UNION) like the
+    reference's chained iterators when table is None."""
+    tables = [table] if table else table_names(path, spatial_only=False)
+    pdfs = []
+    for t in tables:
+        pdf = _read_table(path, t, to_srid, columns, rowids)
+        pdf["table"] = t
+        pdfs.append(pdf)
+    out = pd.concat(pdfs, ignore_index=True)
+    return spark.createDataFrame(out)
+
+
+def _read_table(path, table, to_srid, columns, rowids) -> pd.DataFrame:
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        gcol = geometry_column(path, table)
+        sel = "rowid, *" if rowids else "*"
+        rows = con.execute(f'SELECT {sel} FROM "{table}"')
+        names = [d[0] for d in rows.description]
+        data = rows.fetchall()
+        pdf = pd.DataFrame(data, columns=names)
+        if rowids:
+            pdf = pdf.rename(columns={names[0]: "rowid"})
+        if gcol is not None and gcol[0] in pdf.columns:
+            col, _tname, srid = gcol
+            geoms = []
+            for b in pdf[col]:
+                if b is None:
+                    geoms.append(None)
+                    continue
+                g, g_srid = gpb.decode(bytes(b))
+                if to_srid is not None and g_srid != to_srid:
+                    from ..crs.osgb import reproject
+
+                    g = reproject(g, g_srid, to_srid)
+                geoms.append(gc.to_wkb(g))
+            pdf[col] = geoms
+            pdf = pdf.rename(columns={col: "geom"})
+            pdf["srid"] = to_srid if to_srid is not None else srid
+        # drop the auto fid pk column like the reference suppresses pk
+        if "fid" in pdf.columns:
+            pdf = pdf.drop(columns=["fid"])
+        if columns:
+            keep = [c for c in pdf.columns if c in columns or c in ("geom", "srid", "rowid")]
+            pdf = pdf[keep]
+        return pdf
+    finally:
+        con.close()
+
+
+_SQLITE_TYPES = {
+    "int64": "INTEGER",
+    "int32": "INTEGER",
+    "int16": "INTEGER",
+    "float64": "REAL",
+    "float32": "REAL",
+    "bool": "BOOLEAN",
+    "object": "TEXT",
+}
+
+
+def write_gpkg(
+    df,
+    path: str,
+    table: str,
+    geom_col: Optional[str] = "geom",
+    srid: int = 27700,
+    if_exists: str = "fail",  # fail | append | delete-rows | drop-table
+    batch_size: int = 4000,
+    add_spatial_index: bool = False,
+):
+    """DataFrame → GeoPackage feature/attribute table.
+
+    Streams partitions through batched INSERTs (reference default
+    4000, gpkg.clj:1074) and folds the layer extent into
+    gpkg_contents (gpkg.clj:903-912, 1124-1126)."""
+    spatial = geom_col is not None and geom_col in df.columns
+    con = sqlite3.connect(path)
+    con.execute("PRAGMA journal_mode = WAL")
+    con.execute("PRAGMA synchronous = OFF")
+    try:
+        _bootstrap(con)
+        _ensure_srs(con, srid)
+        exists = _has_table(con, table)
+        if exists:
+            if if_exists == "fail":
+                raise ValueError(f"table {table} exists")
+            if if_exists == "drop-table":
+                drop_table_con(con, table)
+                exists = False
+            elif if_exists == "delete-rows":
+                con.execute(f'DELETE FROM "{table}"')
+        fields = [f for f in df.schema.fields if f.name not in (geom_col, "srid")]
+        if not exists:
+            cols_ddl = []
+            for f in fields:
+                t = {"long": "INTEGER", "int": "INTEGER", "short": "INTEGER",
+                     "double": "REAL", "float": "REAL", "boolean": "BOOLEAN",
+                     "string": "TEXT", "binary": "BLOB",
+                     "timestamp": "DATETIME", "date": "DATE"}.get(
+                    f.dataType.typeName(), "TEXT"
+                )
+                cols_ddl.append(f'"{f.name}" {t}')
+            ddl = f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY AUTOINCREMENT'
+            if spatial:
+                ddl += f', "{geom_col}" BLOB'
+            if cols_ddl:
+                ddl += ", " + ", ".join(cols_ddl)
+            ddl += ")"
+            con.execute(ddl)
+            if spatial:
+                con.execute(
+                    "INSERT OR REPLACE INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+                    (table, geom_col, "GEOMETRY", srid),
+                )
+            con.execute(
+                "INSERT OR REPLACE INTO gpkg_contents (table_name, data_type, identifier, srs_id) VALUES (?,?,?,?)",
+                (table, "features" if spatial else "attributes", table, srid if spatial else None),
+            )
+        col_names = ([geom_col] if spatial else []) + [f.name for f in fields]
+        placeholders = ",".join("?" * len(col_names))
+        ins = f'INSERT INTO "{table}" ({",".join(chr(34)+c+chr(34) for c in col_names)}) VALUES ({placeholders})'
+        ext = [math.inf, math.inf, -math.inf, -math.inf]
+        batch: List[tuple] = []
+
+        def flush():
+            if batch:
+                con.executemany(ins, batch)
+                batch.clear()
+
+        for row in df.toLocalIterator():
+            vals = []
+            if spatial:
+                wkb = row[geom_col]
+                if wkb is None:
+                    vals.append(None)
+                else:
+                    g = gc.from_wkb(bytes(wkb))
+                    env = g.envelope()
+                    if env:
+                        ext[0] = min(ext[0], env[0])
+                        ext[1] = min(ext[1], env[1])
+                        ext[2] = max(ext[2], env[2])
+                        ext[3] = max(ext[3], env[3])
+                    vals.append(gpb.encode(g, srid))
+            for f in fields:
+                v = row[f.name]
+                if isinstance(v, (bytes, bytearray)):
+                    v = bytes(v)
+                elif isinstance(v, bool):
+                    v = 1 if v else 0  # booleans round-trip 0/1 (gpkg.clj:518)
+                elif isinstance(v, (_dt.datetime, _dt.date)):
+                    v = v.isoformat()
+                vals.append(v)
+            batch.append(tuple(vals))
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+        if spatial and ext[0] != math.inf:
+            con.execute(
+                "UPDATE gpkg_contents SET min_x=?, min_y=?, max_x=?, max_y=? WHERE table_name=?",
+                (ext[0], ext[1], ext[2], ext[3], table),
+            )
+        con.commit()
+    finally:
+        con.close()
+
+
+def drop_table_con(con: sqlite3.Connection, table: str):
+    """Drop a table + its metadata rows (gpkg.clj:879-898)."""
+    con.execute(f'DROP TABLE IF EXISTS "{table}"')
+    con.execute("DELETE FROM gpkg_contents WHERE table_name=?", (table,))
+    con.execute("DELETE FROM gpkg_geometry_columns WHERE table_name=?", (table,))
+
+
+def drop_table(path: str, table: str):
+    con = sqlite3.connect(path)
+    try:
+        drop_table_con(con, table)
+        con.commit()
+    finally:
+        con.close()
+
+
+def amend_gpkg(
+    df,
+    path: str,
+    table: str,
+    method: str = "update-set",  # update-set | left-join | outer-join | right-join
+    key: str = "rowid",
+):
+    """Join-update existing rows by rowid/PK (gpkg.clj:1148-1374).
+
+    df columns: `key` + columns to set.  Methods:
+      update-set — each target row matched ≤1 time (error on dups)
+      left-join  — duplicate matches multiply target rows
+      outer-join — + insert unmatched source rows
+      right-join — + delete unmatched target rows
+    Implemented as the same set-based temp-table plan: stage the new
+    values, mark duplicates, UPDATE singular matches, then per-method
+    insert/delete/multiply.
+    """
+    pdf = df.toPandas() if hasattr(df, "toPandas") else pd.DataFrame(df)
+    set_cols = [c for c in pdf.columns if c != key]
+    con = sqlite3.connect(path)
+    try:
+        con.execute("BEGIN")
+        cols_ddl = ", ".join(f'"{c}"' for c in [key] + set_cols)
+        con.execute(
+            f"CREATE TEMP TABLE __amend ({key} INTEGER, "
+            + ", ".join(f'"{c}"' for c in set_cols)
+            + ", __singular INTEGER DEFAULT 1)"
+        )
+        con.executemany(
+            f"INSERT INTO __amend ({cols_ddl}) VALUES ({','.join('?' * (1 + len(set_cols)))})",
+            [tuple(r) for r in pdf[[key] + set_cols].itertuples(index=False, name=None)],
+        )
+        con.execute("CREATE INDEX __amend_idx ON __amend (" + key + ")")
+        # mark duplicate-key rows (gpkg.clj:1271-1286)
+        con.execute(
+            f"UPDATE __amend SET __singular = 0 WHERE {key} IN "
+            f"(SELECT {key} FROM __amend GROUP BY {key} HAVING COUNT(*) > 1)"
+        )
+        ndup = con.execute("SELECT COUNT(*) FROM __amend WHERE __singular = 0").fetchone()[0]
+        if method == "update-set" and ndup:
+            raise ValueError(f"duplicate matches in update-set amend: {ndup} rows")
+        sets = ", ".join(f'"{c}" = (SELECT "{c}" FROM __amend a WHERE a.{key} = "{table}".rowid AND a.__singular = 1)' for c in set_cols)
+        con.execute(
+            f'UPDATE "{table}" SET {sets} WHERE rowid IN (SELECT {key} FROM __amend WHERE __singular = 1)'
+        )
+        if method == "right-join":
+            con.execute(
+                f'DELETE FROM "{table}" WHERE rowid NOT IN (SELECT {key} FROM __amend)'
+            )
+        if method in ("left-join", "outer-join", "right-join") and ndup:
+            # multiply: insert copies joined with the duplicate rows,
+            # then delete the originals (gpkg.clj:1318-1372)
+            tcols = [
+                r[1]
+                for r in con.execute(f'PRAGMA table_info("{table}")')
+                if r[1] != "fid"
+            ]
+            keep = [c for c in tcols if c not in set_cols]
+            sel = ", ".join([f't."{c}"' for c in keep] + [f'a."{c}"' for c in set_cols])
+            con.execute(
+                f'INSERT INTO "{table}" ({", ".join(chr(34)+c+chr(34) for c in keep + set_cols)}) '
+                f'SELECT {sel} FROM "{table}" t JOIN __amend a ON a.{key} = t.rowid WHERE a.__singular = 0'
+            )
+            con.execute(
+                f'DELETE FROM "{table}" WHERE rowid IN (SELECT {key} FROM __amend WHERE __singular = 0)'
+            )
+        con.execute("DROP TABLE __amend")
+        con.commit()
+    except Exception:
+        con.rollback()
+        raise
+    finally:
+        con.close()

@@ -101,6 +101,9 @@ def pip_join(
     broadcast: Optional[bool] = None,
     salt: int = 0,
     keep_cols: Optional[list] = None,
+    cell_col: Optional[str] = None,
+    tile_level: Optional[int] = None,
+    tile_grid: Optional[CellGrid] = None,
 ) -> DataFrame:
     """Point-in-polygon (or other predicate) join.
 
@@ -112,6 +115,12 @@ def pip_join(
     For point probes every predicate reduces to a point-location test:
     intersects/covers(poly,pt) → loc != EXTERIOR; contains → strict
     interior; touches → boundary (index.clj:145-160 refine modes).
+
+    cell_col: a pre-computed probe cell column at exactly `level` —
+    lets the caller fuse the cell encode into an upstream python
+    stage (one fewer JVM↔Python hop).
+    tile_level: fuse Z-order tile assignment into the refine stage —
+    output gains a `cell_id` column with no extra python stage.
     """
     if level is None:
         level = choose_level(polys, poly_geom, grid)
@@ -136,11 +145,16 @@ def pip_join(
         poly_bc = spark.sparkContext.broadcast(poly_map)
         build = build.drop("__pwkb")
     keep_cols = [c for c in (keep_cols or []) if c not in (point_id,)]
+    cell_expr = (
+        F.col(cell_col)
+        if cell_col is not None
+        else cell_of_point(level, grid)(F.col(x_col), F.col(y_col))
+    )
     probe = points.select(
         F.col(point_id).alias("__qid"),
         F.col(x_col).alias("__x"),
         F.col(y_col).alias("__y"),
-        cell_of_point(level, grid)(F.col(x_col), F.col(y_col)).alias("__cell"),
+        cell_expr.alias("__cell"),
         *[F.col(c) for c in keep_cols],
     )
     if salt > 1:
@@ -157,13 +171,16 @@ def pip_join(
     cand = probe.join(build, on=on, how="inner")
 
     pred = predicate
-    out_schema = StructType(
-        [
-            StructField("point_id", cand.schema["__qid"].dataType),
-            StructField("poly_id", cand.schema["__pid"].dataType),
-        ]
-        + [StructField(c, cand.schema[c].dataType) for c in keep_cols]
-    )
+    out_fields = [
+        StructField("point_id", cand.schema["__qid"].dataType),
+        StructField("poly_id", cand.schema["__pid"].dataType),
+    ] + [StructField(c, cand.schema[c].dataType) for c in keep_cols]
+    if tile_level is not None:
+        from pyspark.sql.types import LongType
+
+        out_fields.append(StructField("cell_id", LongType()))
+        tgrid = tile_grid or grid
+    out_schema = StructType(out_fields)
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -200,6 +217,8 @@ def pip_join(
                 out = {"point_id": qid[keep], "poly_id": pid[keep]}
                 for c in keep_cols:
                     out[c] = pdf[c].to_numpy()[order][keep]
+                if tile_level is not None:
+                    out["cell_id"] = tgrid.encode_points(px[keep], py[keep], tile_level)
                 yield pd.DataFrame(out)
 
     return cand.mapInPandas(refine, schema=out_schema)

@@ -1,0 +1,136 @@
+"""GeoPackage source/sink tests — write→read round-trips, if-exists
+modes, amend methods, introspection (ported semantics from
+gpkg_test.clj:20-267 and the amend suite)."""
+
+import sqlite3
+
+import pandas as pd
+import pytest
+
+from geospark.geom import core as C
+from geospark.io import gpkg
+
+
+@pytest.fixture
+def spatial_df(spark):
+    rows = pd.DataFrame(
+        {
+            "geom": [
+                C.to_wkb(C.point(1, 2)),
+                C.to_wkb(C.polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])),
+                None,
+            ],
+            "name": ["a", "b", "c"],
+            "score": [1.5, 2.5, 3.5],
+            "flag": [True, False, True],
+        }
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_write_read_roundtrip_spatial(spark, spatial_df, tmp_path):
+    path = str(tmp_path / "t.gpkg")
+    gpkg.write_gpkg(spatial_df, path, "features", srid=27700)
+    assert gpkg.table_names(path) == ["features"]
+    assert gpkg.geometry_column(path, "features") == ("geom", "GEOMETRY", 27700)
+    back = gpkg.read_gpkg(spark, path, "features").toPandas().sort_values("name")
+    assert list(back["name"]) == ["a", "b", "c"]
+    assert C.geom_eq(C.from_wkb(back.iloc[0]["geom"]), C.point(1, 2))
+    assert back.iloc[2]["geom"] is None
+    assert (back["srid"] == 27700).all()
+    # booleans round-trip as 0/1 (gpkg.clj:518)
+    assert sorted(back["flag"]) == [0, 1, 1]
+    # layer extent folded into gpkg_contents (gpkg.clj:1124-1126)
+    con = sqlite3.connect(path)
+    ext = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents WHERE table_name='features'"
+    ).fetchone()
+    con.close()
+    assert ext == (0.0, 0.0, 10.0, 10.0)
+
+
+def test_write_if_exists_modes(spark, spatial_df, tmp_path):
+    path = str(tmp_path / "m.gpkg")
+    gpkg.write_gpkg(spatial_df, path, "t", srid=27700)
+    with pytest.raises(ValueError):
+        gpkg.write_gpkg(spatial_df, path, "t", srid=27700, if_exists="fail")
+    gpkg.write_gpkg(spatial_df, path, "t", srid=27700, if_exists="append")
+    assert len(gpkg.read_gpkg(spark, path, "t").toPandas()) == 6
+    gpkg.write_gpkg(spatial_df, path, "t", srid=27700, if_exists="delete-rows")
+    assert len(gpkg.read_gpkg(spark, path, "t").toPandas()) == 3
+    gpkg.write_gpkg(spatial_df, path, "t", srid=27700, if_exists="drop-table")
+    assert len(gpkg.read_gpkg(spark, path, "t").toPandas()) == 3
+
+
+def test_write_attribute_table(spark, tmp_path):
+    path = str(tmp_path / "a.gpkg")
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["x", "y"]}))
+    gpkg.write_gpkg(df, path, "attrs", geom_col=None)
+    back = gpkg.read_gpkg(spark, path, "attrs").toPandas()
+    assert sorted(back["k"]) == [1, 2]
+
+
+def test_reprojection_on_read(spark, tmp_path):
+    path = str(tmp_path / "r.gpkg")
+    df = spark.createDataFrame(
+        pd.DataFrame({"geom": [C.to_wkb(C.point(651409.903, 313177.270))], "n": [1]})
+    )
+    gpkg.write_gpkg(df, path, "pts", srid=27700)
+    back = gpkg.read_gpkg(spark, path, "pts", to_srid=4326).toPandas()
+    g = C.from_wkb(back.iloc[0]["geom"])
+    assert abs(g.parts[0, 0] - 1.7179) < 0.01
+    assert abs(g.parts[0, 1] - 52.6576) < 0.01
+    assert back.iloc[0]["srid"] == 4326
+
+
+def test_drop_table(spark, spatial_df, tmp_path):
+    path = str(tmp_path / "d.gpkg")
+    gpkg.write_gpkg(spatial_df, path, "t1", srid=27700)
+    gpkg.write_gpkg(spatial_df, path, "t2", srid=27700)
+    gpkg.drop_table(path, "t1")
+    assert gpkg.table_names(path) == ["t2"]
+
+
+class TestAmend:
+    def _mk(self, spark, tmp_path, name):
+        path = str(tmp_path / f"{name}.gpkg")
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": [10, 20, 30], "v": ["a", "b", "c"]})
+        )
+        gpkg.write_gpkg(df, path, "t", geom_col=None)
+        return path
+
+    def _rows(self, path):
+        con = sqlite3.connect(path)
+        rows = con.execute("SELECT k, v FROM t ORDER BY k, v").fetchall()
+        con.close()
+        return rows
+
+    def test_update_set(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "u")
+        gpkg.amend_gpkg(pd.DataFrame({"rowid": [1, 3], "v": ["A", "C"]}), path, "t")
+        assert self._rows(path) == [(10, "A"), (20, "b"), (30, "C")]
+
+    def test_update_set_duplicate_errors(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "ud")
+        with pytest.raises(ValueError):
+            gpkg.amend_gpkg(
+                pd.DataFrame({"rowid": [1, 1], "v": ["A", "B"]}), path, "t"
+            )
+
+    def test_left_join_multiplies(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "lj")
+        gpkg.amend_gpkg(
+            pd.DataFrame({"rowid": [1, 1], "v": ["A1", "A2"]}),
+            path,
+            "t",
+            method="left-join",
+        )
+        assert self._rows(path) == [(10, "A1"), (10, "A2"), (20, "b"), (30, "c")]
+
+    def test_right_join_deletes_unmatched(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rj")
+        gpkg.amend_gpkg(
+            pd.DataFrame({"rowid": [1], "v": ["A"]}), path, "t", method="right-join"
+        )
+        assert self._rows(path) == [(10, "A")]
