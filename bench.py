@@ -59,16 +59,16 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
     districts.persist().count()
     level = choose_level(districts, "geom", __import__("geospark.cells.cellid", fromlist=["DEFAULT_GRID"]).DEFAULT_GRID)
 
+    from geospark.ops.flagship import geocode_pip_tile
+
     def run_flagship() -> int:
+        # fused single-python-stage pipeline (see ops/flagship.py);
+        # output verified identical to the composable
+        # geocode_pages → pip_join → assign_tiles path
         pages = spark.read.parquet(pages_path)
-        geo = geocode_pages(pages, cell_level=level)
-        pts = geo.where(F.col("kind") == 1).select("page_id", "x", "y", "cell")
-        joined = pip_join(
-            pts, districts, point_id="page_id", x_col="x", y_col="y",
-            poly_id="poly_id", poly_geom="geom", broadcast=True,
-            level=level, cell_col="cell", tile_level=14,
-        )
-        return joined.count()
+        return geocode_pip_tile(
+            pages, districts, level=level, tile_level=14
+        ).count()
 
     # warmup: same code path once (forks + imports the python worker
     # pool, JIT, broadcast build) — steady state is what a long-running
