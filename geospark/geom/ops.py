@@ -355,6 +355,90 @@ def _map_coords_arrays(g: Geometry, f) -> Geometry:
 
 
 # ---------------------------------------------------------------------------
+# interior point — midpoint of the widest interior chord at mid-y
+# (JTS InteriorPointArea algorithm shape; core.clj:307-308)
+# ---------------------------------------------------------------------------
+
+def interior_point(g: Geometry) -> Geometry:
+    if g.is_empty():
+        return empty(POINT, g.srid)
+    from .predicates import INTERIOR, PreparedPolygon, _interior_sample
+
+    if g.gtype in (POLYGON, MULTIPOLYGON):
+        pp = PreparedPolygon(g)
+        _, ymin, _, ymax = pp.bbox
+        y = (ymin + ymax) / 2.0
+        xs = np.unique(np.concatenate([pp.x1, pp.x2]))
+        best = None
+        # crossings of the scanline give interior intervals; take the
+        # midpoint of the widest one
+        cand = (xs[:-1] + xs[1:]) / 2.0 if len(xs) > 1 else xs
+        widths = np.diff(xs) if len(xs) > 1 else np.array([0.0])
+        loc = pp.locate_batch(cand, np.full(len(cand), y))
+        good = np.nonzero(loc == INTERIOR)[0]
+        if len(good):
+            i = good[np.argmax(widths[good])]
+            return point(float(cand[i]), y, g.srid)
+    s = _interior_sample(g)
+    if s is None:
+        c = g.all_coords()
+        return point(float(c[0, 0]), float(c[0, 1]), g.srid)
+    return point(s[0], s[1], g.srid)
+
+
+# ---------------------------------------------------------------------------
+# minimum bounding circle — Welzl's algorithm (core.clj:333-336)
+# ---------------------------------------------------------------------------
+
+def minimum_bounding_circle(g: Geometry):
+    """(center_x, center_y, radius)."""
+    pts = np.unique(g.all_coords(), axis=0)
+    if len(pts) == 0:
+        return (math.nan, math.nan, 0.0)
+    if len(pts) == 1:
+        return (float(pts[0, 0]), float(pts[0, 1]), 0.0)
+    # deterministic shuffle (hash order) for expected-linear Welzl
+    order = np.argsort((pts[:, 0] * 73856093 + pts[:, 1] * 19349663) % 1.0, kind="stable")
+    P = pts[order]
+
+    def circle2(a, b):
+        return ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2, math.hypot(a[0] - b[0], a[1] - b[1]) / 2)
+
+    def circle3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0:
+            return None
+        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay) + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx) + (cx * cx + cy * cy) * (bx - ax)) / d
+        return (ux, uy, math.hypot(ax - ux, ay - uy))
+
+    def inside(c, p, eps=1e-9):
+        return c is not None and math.hypot(p[0] - c[0], p[1] - c[1]) <= c[2] + eps
+
+    c = None
+    for i, p in enumerate(P):
+        if inside(c, p):
+            continue
+        c = (float(p[0]), float(p[1]), 0.0)
+        for j in range(i):
+            q = P[j]
+            if inside(c, q):
+                continue
+            c = circle2(p, q)
+            for k in range(j):
+                r = P[k]
+                if inside(c, r):
+                    continue
+                c3 = circle3(tuple(p), tuple(q), tuple(r))
+                if c3 is not None:
+                    c = c3
+    return c
+
+
+# ---------------------------------------------------------------------------
 # convex hull — Andrew's monotone chain (core.clj:322 convex-hull-of)
 # ---------------------------------------------------------------------------
 
