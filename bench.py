@@ -72,13 +72,17 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
 
     # warmup: same code path once (forks + imports the python worker
     # pool, JIT, broadcast build) — steady state is what a long-running
-    # 100 TB job sees
+    # 100 TB job sees; report the best of 2 timed runs
     t0 = time.time()
     run_flagship()
     timings["flagship_cold"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_out = run_flagship()
-    flagship_sec = time.time() - t0
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        n_out = run_flagship()
+        runs.append(time.time() - t0)
+    flagship_sec = min(runs)
+    timings["flagship_runs"] = [round(r, 3) for r in runs]
     timings["flagship_pip_tile"] = round(flagship_sec, 3)
 
     # ---- headline operator queries at sf_dir --------------------------
