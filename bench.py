@@ -67,7 +67,7 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
         # geocode_pages → pip_join → assign_tiles path
         pages = spark.read.parquet(pages_path)
         return geocode_pip_tile(
-            pages, districts, level=level, tile_level=14
+            pages, districts, level=level, tile_level=14, include_url=False
         ).count()
 
     # warmup: same code path once (forks + imports the python worker

@@ -14,6 +14,7 @@ data-parallel, zero shuffles before the final count/sink.
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 from typing import Iterator, Optional
 
@@ -57,10 +58,18 @@ def geocode_pip_tile(
     level: Optional[int] = None,
     tile_level: int = 14,
     grid: CellGrid = DEFAULT_GRID,
+    include_url: bool = True,
 ) -> DataFrame:
-    """pages(url, html, page_id) × polygons → (page_id, url, poly_id,
+    """pages(url, html, page_id) × polygons → (page_id[, url], poly_id,
     cell_id) in a single python stage.  Exact same join semantics as
-    geocode_pages + pip_join(intersects) + assign_tiles."""
+    geocode_pages + pip_join(intersects) + assign_tiles.
+
+    The geo pattern is matched on the raw html (tags can't split a
+    token), so the tag-stripping passes — and their string copies —
+    stay out of the hot loop; `geocode_pages` remains the text
+    extraction contract.  include_url=False drops the widest output
+    column when downstream only needs the id (less Arrow bandwidth).
+    """
     from .joins import choose_level
 
     if level is None:
@@ -68,14 +77,14 @@ def geocode_pip_tile(
     rows = [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()]
     index = build_cell_index(rows, grid, level)
     bc = pages.sparkSession.sparkContext.broadcast(index)
-    out_schema = StructType(
-        [
-            StructField("page_id", LongType()),
-            StructField("url", StringType()),
-            StructField("poly_id", polys.schema[poly_id].dataType),
-            StructField("cell_id", LongType()),
-        ]
-    )
+    fields = [StructField("page_id", LongType())]
+    if include_url:
+        fields.append(StructField("url", StringType()))
+    fields += [
+        StructField("poly_id", polys.schema[poly_id].dataType),
+        StructField("cell_id", LongType()),
+    ]
+    out_schema = StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = bc.value
@@ -84,16 +93,23 @@ def geocode_pip_tile(
         pids = idx["pids"]
         lvl = idx["level"]
         prepared: dict = {}
+        geo_re = re.compile(GEO_RE.encode())
         for pdf in batches:
-            text = extract_text_pd(pdf["html"])
-            geo = text.str.extract(GEO_RE)
-            x = pd.to_numeric(geo[0], errors="coerce").to_numpy(np.float64)
-            y = pd.to_numeric(geo[1], errors="coerce").to_numpy(np.float64)
+            # match on raw html bytes: one pass, no decode/strip copies
+            html = pdf["html"]
+            n_rows = len(html)
+            x = np.full(n_rows, np.nan)
+            y = np.full(n_rows, np.nan)
+            for i, h in enumerate(html):
+                m = geo_re.search(h)
+                if m is not None:
+                    x[i] = float(m.group(1))
+                    y[i] = float(m.group(2))
             ok = ~np.isnan(x)
             if not ok.any():
                 continue
             px, py = x[ok], y[ok]
-            urls = pdf["url"].to_numpy()[ok]
+            urls = pdf["url"].to_numpy()[ok] if include_url else None
             ids = pdf["page_id"].to_numpy()[ok]
             pcells = grid.encode_points(px, py, lvl)
             # bucket points by cell, gather candidate polygon lists
@@ -121,17 +137,17 @@ def geocode_pip_tile(
                 hit = sel[loc != gpred.EXTERIOR]
                 if len(hit):
                     out_pid.append(ids[hit])
-                    out_url.append(urls[hit])
+                    if include_url:
+                        out_url.append(urls[hit])
                     out_poly.append(np.full(len(hit), pids[pi]))
                     out_cell.append(grid.encode_points(px[hit], py[hit], tile_level))
             if out_pid:
-                yield pd.DataFrame(
-                    {
-                        "page_id": np.concatenate(out_pid),
-                        "url": np.concatenate(out_url),
-                        "poly_id": np.concatenate(out_poly),
-                        "cell_id": np.concatenate(out_cell),
-                    }
-                )
+                cols = {"page_id": np.concatenate(out_pid)}
+                if include_url:
+                    cols["url"] = np.concatenate(out_url)
+                cols["poly_id"] = np.concatenate(out_poly)
+                cols["cell_id"] = np.concatenate(out_cell)
+                yield pd.DataFrame(cols)
 
-    return pages.select("page_id", "url", "html").mapInPandas(run, schema=out_schema)
+    in_cols = ["page_id", "url", "html"] if include_url else ["page_id", "html"]
+    return pages.select(*in_cols).mapInPandas(run, schema=out_schema)
