@@ -331,6 +331,136 @@ def write_gpkg(
         con.close()
 
 
+def _ensure_schema_ext(con: sqlite3.Connection):
+    """gpkg_schema extension tables (column metadata + constraints;
+    reference gpkg.clj:964-1007)."""
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_extensions (
+             table_name TEXT, column_name TEXT, extension_name TEXT NOT NULL,
+             definition TEXT NOT NULL, scope TEXT NOT NULL,
+             CONSTRAINT ge_tce UNIQUE (table_name, column_name, extension_name))"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_data_columns (
+             table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+             name TEXT UNIQUE, title TEXT, description TEXT, mime_type TEXT,
+             constraint_name TEXT,
+             CONSTRAINT pk_gdc PRIMARY KEY (table_name, column_name))"""
+    )
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_data_column_constraints (
+             constraint_name TEXT NOT NULL, constraint_type TEXT NOT NULL,
+             value TEXT, min NUMERIC, min_is_inclusive BOOLEAN,
+             max NUMERIC, max_is_inclusive BOOLEAN, description TEXT,
+             CONSTRAINT gdcc_ntv UNIQUE (constraint_name, constraint_type, value))"""
+    )
+    for t in ("gpkg_data_columns", "gpkg_data_column_constraints"):
+        # UNIQUE with NULL column_name doesn't dedupe in SQLite
+        exists = con.execute(
+            "SELECT 1 FROM gpkg_extensions WHERE table_name=? AND extension_name='gpkg_schema'",
+            (t,),
+        ).fetchone()
+        if not exists:
+            con.execute(
+                "INSERT INTO gpkg_extensions VALUES (?,NULL,?,?,?)",
+                (t, "gpkg_schema", "https://www.geopackage.org/spec/#extension_schema", "read-write"),
+            )
+
+
+def set_column_metadata(path: str, table: str, column: str, meta: dict):
+    """Attach gpkg_schema metadata to a column: keys name/title/
+    description/mime_type/constraint (reference gpkg.clj:1056-1068)."""
+    con = sqlite3.connect(path)
+    try:
+        _ensure_schema_ext(con)
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_data_columns VALUES (?,?,?,?,?,?,?)",
+            (
+                table, column, meta.get("name"), meta.get("title"),
+                meta.get("description"), meta.get("mime_type"),
+                meta.get("constraint"),
+            ),
+        )
+        con.commit()
+    finally:
+        con.close()
+
+
+def add_constraint(path: str, constraint: dict):
+    """Register an enum/range/glob constraint definition
+    (gpkg_data_column_constraints)."""
+    con = sqlite3.connect(path)
+    try:
+        _ensure_schema_ext(con)
+        con.execute(
+            "INSERT OR IGNORE INTO gpkg_data_column_constraints VALUES (?,?,?,?,?,?,?,?)",
+            (
+                constraint["name"], constraint["type"], constraint.get("value"),
+                constraint.get("min"), constraint.get("min_is_inclusive"),
+                constraint.get("max"), constraint.get("max_is_inclusive"),
+                constraint.get("description"),
+            ),
+        )
+        con.commit()
+    finally:
+        con.close()
+
+
+def column_metadata(path: str, table: str) -> Dict[str, dict]:
+    """Read gpkg_schema column metadata (gpkg.clj:409-472)."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        if not _has_table(con, "gpkg_data_columns"):
+            return {}
+        out = {}
+        for r in con.execute(
+            "SELECT column_name, name, title, description, mime_type, constraint_name "
+            "FROM gpkg_data_columns WHERE table_name=?",
+            (table,),
+        ):
+            out[r[0]] = {
+                "name": r[1], "title": r[2], "description": r[3],
+                "mime_type": r[4], "constraint": r[5],
+            }
+        return out
+    finally:
+        con.close()
+
+
+def column_constraints(path: str, name: str) -> List[dict]:
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        if not _has_table(con, "gpkg_data_column_constraints"):
+            return []
+        return [
+            {
+                "name": r[0], "type": r[1], "value": r[2], "min": r[3],
+                "min_is_inclusive": r[4], "max": r[5],
+                "max_is_inclusive": r[6], "description": r[7],
+            }
+            for r in con.execute(
+                "SELECT * FROM gpkg_data_column_constraints WHERE constraint_name=?",
+                (name,),
+            )
+        ]
+    finally:
+        con.close()
+
+
+def extensions(path: str) -> List[dict]:
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        if not _has_table(con, "gpkg_extensions"):
+            return []
+        return [
+            {"table_name": r[0], "column_name": r[1], "extension_name": r[2],
+             "definition": r[3], "scope": r[4]}
+            for r in con.execute("SELECT * FROM gpkg_extensions")
+        ]
+    finally:
+        con.close()
+
+
 def drop_table_con(con: sqlite3.Connection, table: str):
     """Drop a table + its metadata rows (gpkg.clj:879-898)."""
     con.execute(f'DROP TABLE IF EXISTS "{table}"')
