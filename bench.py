@@ -59,14 +59,14 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
     districts.persist().count()
     level = choose_level(districts, "geom", __import__("geospark.cells.cellid", fromlist=["DEFAULT_GRID"]).DEFAULT_GRID)
 
-    from geospark.ops.flagship import geocode_pip_tile
+    from geospark.ops.flagship import geocode_pip_tile_jvm
 
     def run_flagship() -> int:
-        # fused single-python-stage pipeline (see ops/flagship.py);
-        # output verified identical to the composable
-        # geocode_pages → pip_join → assign_tiles path
+        # JVM regexp extraction + one python stage for cells/PIP/tiles
+        # (see ops/flagship.py); output verified identical to the
+        # composable geocode_pages → pip_join → assign_tiles path
         pages = spark.read.parquet(pages_path)
-        return geocode_pip_tile(
+        return geocode_pip_tile_jvm(
             pages, districts, level=level, tile_level=14, include_url=False
         ).count()
 

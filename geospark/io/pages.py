@@ -195,7 +195,10 @@ def generate_districts(spark: SparkSession, n: int, seed: int = 43) -> DataFrame
     uy = _u01(_h(ids, 23, seed))
     cxs = np.where(is_city, CITIES[ci, 0] + (ux - 0.5) * 30000.0, ux * DOMAIN_X)
     cys = np.where(is_city, CITIES[ci, 1] + (uy - 0.5) * 30000.0, uy * DOMAIN_Y)
-    size = 500.0 + _u01(_h(ids, 24, seed)) * 4500.0
+    # administrative-boundary-like sizing: districts mostly tile space
+    # (real districts rarely overlap) — the hot-cell skew comes from
+    # the page distribution, not from stacking polygons
+    size = 250.0 + _u01(_h(ids, 24, seed)) * 1250.0
     shape = (_h(ids, 25, seed) % np.uint64(4)).astype(np.int64)
 
     rows = []

@@ -151,3 +151,103 @@ def geocode_pip_tile(
 
     in_cols = ["page_id", "url", "html"] if include_url else ["page_id", "html"]
     return pages.select(*in_cols).mapInPandas(run, schema=out_schema)
+
+
+def geocode_pip_tile_jvm(
+    pages: DataFrame,
+    polys: DataFrame,
+    poly_id: str = "poly_id",
+    poly_geom: str = "geom",
+    level: Optional[int] = None,
+    tile_level: int = 14,
+    grid: CellGrid = DEFAULT_GRID,
+    include_url: bool = True,
+) -> DataFrame:
+    """Same semantics as geocode_pip_tile, but the regex extraction
+    runs JVM-side (regexp_extract inside whole-stage codegen) — the
+    python stage only ever sees (page_id[, url], x, y).
+
+    This is the Spark-first split: string work in the JVM where it is
+    C2-compiled and shares no python worker, geometry kernels in numpy
+    where the JVM has nothing comparable.  The float parse of the
+    fixed '%.2f' geo token is exact in both runtimes, so results are
+    bit-identical to the python extractor (asserted in tests).
+    """
+    from .joins import choose_level
+
+    if level is None:
+        level = choose_level(polys, poly_geom, grid)
+    rows = [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()]
+    index = build_cell_index(rows, grid, level)
+    bc = pages.sparkSession.sparkContext.broadcast(index)
+
+    html_str = F.col("html").cast("string")
+    gx = F.regexp_extract(html_str, GEO_RE, 1)
+    gy = F.regexp_extract(html_str, GEO_RE, 2)
+    pts = pages.select(
+        "page_id",
+        *(["url"] if include_url else []),
+        F.when(gx == "", None).otherwise(gx).cast("double").alias("x"),
+        F.when(gy == "", None).otherwise(gy).cast("double").alias("y"),
+    ).where(F.col("x").isNotNull())
+
+    fields = [StructField("page_id", LongType())]
+    if include_url:
+        fields.append(StructField("url", StringType()))
+    fields += [
+        StructField("poly_id", polys.schema[poly_id].dataType),
+        StructField("cell_id", LongType()),
+    ]
+    out_schema = StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value
+        cells_map = idx["cells"]
+        wkbs = idx["wkbs"]
+        pids = idx["pids"]
+        lvl = idx["level"]
+        prepared: dict = {}
+        for pdf in batches:
+            px = pdf["x"].to_numpy(np.float64)
+            py = pdf["y"].to_numpy(np.float64)
+            if len(px) == 0:
+                continue
+            urls = pdf["url"].to_numpy() if include_url else None
+            ids = pdf["page_id"].to_numpy()
+            pcells = grid.encode_points(px, py, lvl)
+            order = np.argsort(pcells, kind="stable")
+            pcells_s = pcells[order]
+            bounds = np.flatnonzero(np.r_[True, pcells_s[1:] != pcells_s[:-1], True])
+            poly_pts = defaultdict(list)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                cands = cells_map.get(int(pcells_s[s]))
+                if cands is None:
+                    continue
+                for pi in cands:
+                    poly_pts[int(pi)].append(order[s:e])
+            out_pid, out_url, out_poly, out_cell = [], [], [], []
+            for pi, chunks in poly_pts.items():
+                sel = np.concatenate(chunks)
+                pp = prepared.get(pi)
+                if pp is None:
+                    if len(prepared) > 4096:
+                        prepared.clear()
+                    pp = gpred.PreparedPolygon(gc.from_wkb(wkbs[pi]))
+                    prepared[pi] = pp
+                loc = pp.locate_batch(px[sel], py[sel])
+                hit = sel[loc != gpred.EXTERIOR]
+                if len(hit):
+                    out_pid.append(ids[hit])
+                    if include_url:
+                        out_url.append(urls[hit])
+                    out_poly.append(np.full(len(hit), pids[pi]))
+                    out_cell.append(grid.encode_points(px[hit], py[hit], tile_level))
+            if out_pid:
+                cols = {"page_id": np.concatenate(out_pid)}
+                if include_url:
+                    cols["url"] = np.concatenate(out_url)
+                cols["poly_id"] = np.concatenate(out_poly)
+                cols["cell_id"] = np.concatenate(out_cell)
+                yield pd.DataFrame(cols)
+
+    return pts.mapInPandas(run, schema=out_schema)
