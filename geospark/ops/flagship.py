@@ -182,14 +182,24 @@ def geocode_pip_tile_jvm(
     bc = pages.sparkSession.sparkContext.broadcast(index)
 
     html_str = F.col("html").cast("string")
-    gx = F.regexp_extract(html_str, GEO_RE, 1)
-    gy = F.regexp_extract(html_str, GEO_RE, 2)
-    pts = pages.select(
-        "page_id",
-        *(["url"] if include_url else []),
-        F.when(gx == "", None).otherwise(gx).cast("double").alias("x"),
-        F.when(gy == "", None).otherwise(gy).cast("double").alias("y"),
-    ).where(F.col("x").isNotNull())
+    # one regex pass; split the captured "x,y" pair afterwards
+    tok = F.regexp_extract(html_str, r"geo:(-?\d+\.\d+,-?\d+\.\d+)", 1)
+    parts = F.split(tok, ",")
+    pts = (
+        pages.select(
+            "page_id",
+            *(["url"] if include_url else []),
+            tok.alias("__tok"),
+            parts.alias("__p"),
+        )
+        .where(F.col("__tok") != "")
+        .select(
+            "page_id",
+            *(["url"] if include_url else []),
+            F.col("__p")[0].cast("double").alias("x"),
+            F.col("__p")[1].cast("double").alias("y"),
+        )
+    )
 
     fields = [StructField("page_id", LongType())]
     if include_url:

@@ -452,6 +452,34 @@ FROM documents
 """
 
 
+def q_box_join(spark, sf_dir) -> DataFrame:
+    """Geometry×geometry predicate join (intersects) through the real
+    cover-cell + refine path; boxes make the oracle SQL-expressible."""
+    from .ops.joins import predicate_join
+
+    boxes = nation_boxes(spark, sf_dir)
+    out = predicate_join(
+        boxes, boxes, "poly_id", "geom", "poly_id", "geom", "intersects"
+    )
+    return out.where(F.col("left_id") < F.col("right_id")).select(
+        F.col("left_id").alias("a_key"), F.col("right_id").alias("b_key")
+    )
+
+
+Q_BOX_JOIN_SQL = """
+WITH boxes AS (
+  SELECT n_nationkey AS k,
+         ((n_nationkey*773)%18000)::DOUBLE AS x0,
+         ((n_nationkey*1571)%18000)::DOUBLE AS y0
+  FROM nation)
+SELECT a.k AS a_key, b.k AS b_key
+FROM boxes a, boxes b
+WHERE a.k < b.k
+  AND a.x0 <= b.x0 + 2500 AND b.x0 <= a.x0 + 2500
+  AND a.y0 <= b.y0 + 2500 AND b.y0 <= a.y0 + 2500
+"""
+
+
 def q_dissolve_region(spark, sf_dir) -> DataFrame:
     """Geometric dissolve (unary union) of nation boxes per region —
     arrangement-union kernel in applyInPandas; rows-only check."""
@@ -501,6 +529,7 @@ def registry() -> Dict[str, Callable]:
         "events_hourly": q_events_hourly,
         "extent_agg": q_extent_agg,
         "geocode": q_geocode,
+        "box_join": q_box_join,
         "dissolve_region": q_dissolve_region,
         "buffer_area": q_buffer_area,
     }
@@ -521,5 +550,6 @@ def oracles() -> Dict[str, str]:
         "events_hourly": Q_EVENTS_SQL,
         "extent_agg": Q_EXTENT_SQL,
         "geocode": Q_GEOCODE_SQL,
+        "box_join": Q_BOX_JOIN_SQL,
         # simhash, ann_lsh, dissolve_region, buffer_area: rows-only
     }
