@@ -77,7 +77,7 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
     run_flagship()
     timings["flagship_cold"] = round(time.time() - t0, 3)
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         n_out = run_flagship()
         runs.append(time.time() - t0)
