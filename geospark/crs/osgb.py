@@ -46,7 +46,8 @@ def _tm_to_latlon(E, N, a, b):
 
     phi = (N - N0) / (a * F0) + PHI0
     M = np.zeros_like(phi)
-    for _ in range(10):
+    for _ in range(40):  # converges in <10 iters in-domain; extra
+        # headroom keeps the far-field (property-test) roundtrip <1cm
         dphi = phi - PHI0
         sphi = phi + PHI0
         M = (
