@@ -71,19 +71,26 @@ def _pick_scale(a: Geometry, b: Optional[Geometry]) -> float:
 # area overlay
 # ---------------------------------------------------------------------------
 
-def _edge_sides(a: Geometry, b: Optional[Geometry], scale: float):
+def _edge_sides(a: Geometry, b: Optional[Geometry], scale: float, eps_px: float = 1.0, noded=None):
     """Node the combined boundary arrangement; for every dissolved
     substring, classify a sample point ε to each side against a (and b).
 
-    Returns [(coords, (inA_left, inB_left), (inA_right, inB_right))].
+    Returns (noded, [(coords, (inA_left, inB_left), (inA_right, inB_right))]).
     Substrings have no interior nodes, so one sample per side
     classifies the adjacent face along the whole substring.
+
+    eps_px: sampling offset in snap pixels.  1 px clears the max snap
+    displacement (0.71 px); sub-pixel features need a smaller ε —
+    the caller retries over a ladder when the assembly is inconsistent
+    (the same place the reference escalates through OverlayNGRobust,
+    core.clj:401-412).
     """
-    lines = [l.parts for l in linearize(a)]
-    if b is not None:
-        lines += [l.parts for l in linearize(b)]
-    noded = node_lines(lines, scale)
-    eps = 1.0 / scale  # > max snap displacement (0.71/scale)
+    if noded is None:
+        lines = [l.parts for l in linearize(a)]
+        if b is not None:
+            lines += [l.parts for l in linearize(b)]
+        noded = node_lines(lines, scale)
+    eps = eps_px / scale
     samples = []
     for coords, _src in noded:
         best, best_len = None, 0.0
@@ -103,7 +110,7 @@ def _edge_sides(a: Geometry, b: Optional[Geometry], scale: float):
     pb = PreparedPolygon(b) if b is not None else None
     pts = [p for s in samples if s for p in s]
     if not pts:
-        return []
+        return noded, []
     px = np.array([p[0] for p in pts])
     py = np.array([p[1] for p in pts])
     in_a = pa.locate_batch(px, py) != EXTERIOR
@@ -117,7 +124,7 @@ def _edge_sides(a: Geometry, b: Optional[Geometry], scale: float):
         right = (bool(in_a[k + 1]), bool(in_b[k + 1]))
         k += 2
         out.append((coords, left, right))
-    return out
+    return noded, out
 
 
 def _op_select(op: str, in_a: bool, in_b: bool) -> bool:
@@ -130,9 +137,11 @@ def _op_select(op: str, in_a: bool, in_b: bool) -> bool:
     return in_a != in_b  # sym_difference
 
 
-def _assemble(directed: List[List[Pt]]) -> Geometry:
+def _assemble(directed: List[List[Pt]], _stats: Optional[dict] = None) -> Geometry:
     """Trace rings from directed boundary substrings (region on the
-    left) and rebuild polygons (CCW shells + CW holes)."""
+    left) and rebuild polygons (CCW shells + CW holes).  _stats (if
+    given) records {'dropped': n} edges that failed to close a ring —
+    a nonzero count means the side classification was inconsistent."""
     survivors: List[Tuple[Pt, Pt]] = []
     for coords in directed:
         for i in range(len(coords) - 1):
@@ -190,6 +199,9 @@ def _assemble(directed: List[List[Pt]]) -> Geometry:
                 break
         if ring:
             rings_out.append(ring)
+    if _stats is not None:
+        used_edges = sum(len(r) - 1 for r in rings_out)
+        _stats["dropped"] = max(0, len(survivors) - used_edges)
     shells = []
     holes = []
     for r in rings_out:
@@ -225,15 +237,29 @@ def _assemble(directed: List[List[Pt]]) -> Geometry:
 
 def _area_overlay(a: Geometry, b: Geometry, op: str, scale: Optional[float]) -> Geometry:
     scale = scale or _pick_scale(a, b)
-    directed = []
-    for coords, left, right in _edge_sides(a, b, scale):
-        keep_l = _op_select(op, *left)
-        keep_r = _op_select(op, *right)
-        if keep_l and not keep_r:
-            directed.append(coords)
-        elif keep_r and not keep_l:
-            directed.append(list(reversed(coords)))
-    return _assemble(directed)
+    # ε retry ladder: sub-pixel features can straddle one sampling
+    # offset and classify inconsistently (open rings); escalate like
+    # the reference's overlay robustness fallback (core.clj:401-412)
+    noded = None
+    best = None
+    for eps_px in (1.0, 0.25, 0.0625, 4.0):
+        noded, sides = _edge_sides(a, b, scale, eps_px=eps_px, noded=noded)
+        directed = []
+        for coords, left, right in sides:
+            keep_l = _op_select(op, *left)
+            keep_r = _op_select(op, *right)
+            if keep_l and not keep_r:
+                directed.append(coords)
+            elif keep_r and not keep_l:
+                directed.append(list(reversed(coords)))
+        stats: dict = {}
+        geom = _assemble(directed, stats)
+        dropped = stats.get("dropped", 0)
+        if dropped == 0:
+            return geom
+        if best is None or dropped < best[0]:
+            best = (dropped, geom)
+    return best[1]
 
 
 # ---------------------------------------------------------------------------
@@ -318,8 +344,9 @@ def union(a: Geometry, b: Optional[Geometry] = None, scale: Optional[float] = No
 def _nary_area_union(parts: List[Geometry], scale: Optional[float]) -> Geometry:
     mp = multi_polygon([p for g in parts for p in parts_of(g, POLYGON)])
     scale = scale or _pick_scale(mp, None)
+    _, sides = _edge_sides(mp, None, scale)
     directed = []
-    for coords, left, right in _edge_sides(mp, None, scale):
+    for coords, left, right in sides:
         if left[0] and not right[0]:
             directed.append(coords)
         elif right[0] and not left[0]:
@@ -453,8 +480,9 @@ def make_valid(g: Geometry, scale: Optional[float] = None) -> Geometry:
     if _dim(g) < 2 or g.is_empty():
         return g
     scale = scale or _pick_scale(g, None)
+    _, sides = _edge_sides(g, None, scale)
     directed = []
-    for coords, left, right in _edge_sides(g, None, scale):
+    for coords, left, right in sides:
         if left[0] and not right[0]:
             directed.append(coords)
         elif right[0] and not left[0]:

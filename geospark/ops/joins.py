@@ -53,12 +53,16 @@ _PREP_CACHE_MAX = 4096
 
 
 def _prepared(key, wkb: bytes) -> gpred.PreparedPolygon:
-    pp = _PREP_CACHE.get(key)
+    # key must include the geometry content: python workers are reused
+    # across jobs, and a bare poly_id collides between different
+    # polygon tables (process-local `hash` is fine for a local cache)
+    full_key = (key, len(wkb), hash(bytes(wkb)))
+    pp = _PREP_CACHE.get(full_key)
     if pp is None:
         if len(_PREP_CACHE) >= _PREP_CACHE_MAX:
             _PREP_CACHE.clear()
         pp = gpred.PreparedPolygon(gc.from_wkb(wkb))
-        _PREP_CACHE[key] = pp
+        _PREP_CACHE[full_key] = pp
     return pp
 
 

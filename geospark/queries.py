@@ -480,6 +480,43 @@ WHERE a.k < b.k
 """
 
 
+def q_gpkg_roundtrip(spark, sf_dir) -> DataFrame:
+    """Sink/source conformance: write derived points to a GeoPackage
+    (GP blob encode, metadata, extent fold), read them back (blob
+    decode), recover exact coordinates — oracle = the same derivation
+    in SQL.  Exercises io/gpkg.py + io/gpb.py end-to-end."""
+    import os
+    import tempfile
+
+    from .functions import st_point
+    from .io import gpkg as gpkg_io
+
+    pts = customer_points(spark, sf_dir).select(
+        "c_custkey", st_point("x", "y").alias("geom")
+    )
+    path = os.path.join(tempfile.gettempdir(), "geospark_q_roundtrip.gpkg")
+    if os.path.exists(path):
+        os.unlink(path)
+    gpkg_io.write_gpkg(pts, path, "pts", srid=27700)
+    back = gpkg_io.read_gpkg(spark, path, "pts")
+
+    from .functions import wkb_to_points_np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf("x double, y double")
+    def coords(wkb: pd.Series) -> pd.DataFrame:
+        x, y = wkb_to_points_np(list(wkb))
+        return pd.DataFrame({"x": x, "y": y})
+
+    return back.withColumn("__c", coords("geom")).select(
+        "c_custkey", F.col("__c.x").alias("x"), F.col("__c.y").alias("y")
+    )
+
+
+Q_GPKG_ROUNDTRIP_SQL = CUSTOMER_POINTS_SQL
+
+
 def q_dissolve_region(spark, sf_dir) -> DataFrame:
     """Geometric dissolve (unary union) of nation boxes per region —
     arrangement-union kernel in applyInPandas; rows-only check."""
@@ -530,6 +567,7 @@ def registry() -> Dict[str, Callable]:
         "extent_agg": q_extent_agg,
         "geocode": q_geocode,
         "box_join": q_box_join,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
         "dissolve_region": q_dissolve_region,
         "buffer_area": q_buffer_area,
     }
@@ -551,5 +589,6 @@ def oracles() -> Dict[str, str]:
         "extent_agg": Q_EXTENT_SQL,
         "geocode": Q_GEOCODE_SQL,
         "box_join": Q_BOX_JOIN_SQL,
+        "gpkg_roundtrip": Q_GPKG_ROUNDTRIP_SQL,
         # simhash, ann_lsh, dissolve_region, buffer_area: rows-only
     }

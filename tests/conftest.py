@@ -5,6 +5,21 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+try:
+    # deterministic property tests: same examples every run (no DB
+    # dependence, no open-ended shrink time under the driver's gate)
+    from hypothesis import HealthCheck, settings
+
+    settings.register_profile(
+        "ci",
+        derandomize=True,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    settings.load_profile("ci")
+except Exception:
+    pass
+
 
 @pytest.fixture(scope="session")
 def spark():
