@@ -388,7 +388,11 @@ def intersection(a: Geometry, b: Geometry, scale: Optional[float] = None) -> Geo
     return _clip_line_by_area(line, poly, scale)
 
 
-def _clip_line_by_area(line: Geometry, poly: Geometry, scale: Optional[float]) -> Geometry:
+def _clip_line_by_area(
+    line: Geometry, poly: Geometry, scale: Optional[float], keep: str = "inside"
+) -> Geometry:
+    """Pieces of the line inside (intersection) or outside (difference)
+    the area."""
     scale = scale or _pick_scale(line, poly)
     pp = PreparedPolygon(poly)
     out = []
@@ -396,7 +400,7 @@ def _clip_line_by_area(line: Geometry, poly: Geometry, scale: Optional[float]) -
         cuts: List[Pt] = []
         for pl in linearize(poly):
             cuts.extend(line_line_intersection_points(l.parts, pl.parts))
-        # split l at cut points, keep pieces inside
+        # split l at cut points, keep pieces on the requested side
         from .linear import LengthIndexedLine
 
         lil = LengthIndexedLine(l.parts)
@@ -404,7 +408,9 @@ def _clip_line_by_area(line: Geometry, poly: Geometry, scale: Optional[float]) -
         for i in range(len(idxs) - 1):
             piece = lil.extract_line(idxs[i], idxs[i + 1])
             mid = piece[(len(piece) - 1) // 2 : (len(piece) + 3) // 2].mean(axis=0)
-            if pp.locate_batch(np.array([mid[0]]), np.array([mid[1]]))[0] != EXTERIOR:
+            loc = pp.locate_batch(np.array([mid[0]]), np.array([mid[1]]))[0]
+            hit = loc != EXTERIOR if keep == "inside" else loc == EXTERIOR
+            if hit:
                 out.append(piece)
     if not out:
         return empty(LINESTRING)
@@ -423,8 +429,21 @@ def difference(a: Geometry, b: Geometry, scale: Optional[float] = None) -> Geome
     if da == 2 and db == 2:
         return _area_overlay(a, b, "difference", scale)
     if da == 2 and db < 2:
-        return a
-    raise NotImplementedError("difference for non-area inputs lands in round 2")
+        return a  # lower-dim subtrahend removes nothing from an area
+    if da == 1 and db == 2:
+        return _clip_line_by_area(a, b, scale, keep="outside")
+    if da == 1 and db <= 1:
+        return a  # point/line subtrahend leaves 1-dim measure intact
+    if da == 0:
+        from .predicates import locate_point
+
+        keep = [
+            (x, y) for x, y in a.all_coords() if locate_point(b, x, y) == EXTERIOR
+        ]
+        if not keep:
+            return empty(POINT)
+        return point(*keep[0]) if len(keep) == 1 else multi_point(keep)
+    raise NotImplementedError(f"difference for dims ({da},{db})")
 
 
 def sym_difference(a: Geometry, b: Geometry, scale: Optional[float] = None) -> Geometry:
@@ -432,9 +451,49 @@ def sym_difference(a: Geometry, b: Geometry, scale: Optional[float] = None) -> G
         return b
     if b.is_empty():
         return a
-    if _dim(a) == 2 and _dim(b) == 2:
+    da, db = _dim(a), _dim(b)
+    if da == 2 and db == 2:
         return _area_overlay(a, b, "sym_difference", scale)
-    raise NotImplementedError("sym_difference for non-area inputs lands in round 2")
+    if da == 1 and db == 1:
+        # symmetric lineal difference: each minus the shared linework
+        left = _lineal_minus_lineal(a, b)
+        right = _lineal_minus_lineal(b, a)
+        parts = [g for g in (left, right) if g is not None and not g.is_empty()]
+        if not parts:
+            return empty(LINESTRING)
+        if len(parts) == 1:
+            return parts[0]
+        lines = [l for p in parts for l in line_strings_of(p)]
+        return Geometry(MULTILINESTRING, [l.parts for l in lines])
+    if {da, db} == {1, 2} or {da, db} == {0, 2} or {da, db} == {0, 1}:
+        # mixed dims: the lower-dim part survives outside the higher
+        lo, hi = (a, b) if da < db else (b, a)
+        return collection([difference(lo, hi), hi])
+    raise NotImplementedError(f"sym_difference for dims ({da},{db})")
+
+
+def _lineal_minus_lineal(a: Geometry, b: Geometry) -> Geometry:
+    """Remove from a the segments it shares (collinearly) with b —
+    crossing points don't reduce 1-dim measure, shared stretches do."""
+    from .noding import node_lines
+
+    scale = _pick_scale(a, b)
+    la = [l.parts for l in linearize(a)]
+    lb = [l.parts for l in linearize(b)]
+    noded = node_lines(la + lb, scale)
+    na = len(la)
+    keep = []
+    for coords, srcs in noded:
+        in_a = any(s < na for s in srcs)
+        in_b = any(s >= na for s in srcs)
+        if in_a and not in_b:
+            keep.append(np.asarray(coords, dtype=np.float64))
+    if not keep:
+        return empty(LINESTRING)
+    merged = line_merge([line_string(c) for c in keep])
+    if len(merged) == 1:
+        return merged[0]
+    return Geometry(MULTILINESTRING, [m.parts for m in merged])
 
 
 # ---------------------------------------------------------------------------

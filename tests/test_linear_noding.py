@@ -240,3 +240,34 @@ class TestBuffer:
         p2 = C.from_wkt(open("/root/reference/test/geometry/polygon2.wkt").read().strip())
         r2 = gbuffer(gbuffer(p2, -10, 2, cap="square", join="mitre", mitre_limit=2), 15, 2, cap="square", join="mitre", mitre_limit=2)
         assert OV.is_valid(r2)
+
+
+class TestMixedDimOverlay:
+    def test_line_minus_area(self):
+        l = C.from_wkt("LINESTRING (-5 5, 15 5)")
+        sq = C.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        d = OV.difference(l, sq)
+        assert abs(O.length(d) - 10.0) < 1e-9
+        assert wkt_set(O.line_strings_of(d)) == wkt_set(
+            ["LINESTRING (-5 5, 0 5)", "LINESTRING (10 5, 15 5)"]
+        )
+
+    def test_line_sym_difference(self):
+        a = C.from_wkt("LINESTRING (0 0, 10 0)")
+        b = C.from_wkt("LINESTRING (5 0, 15 0)")
+        sd = OV.sym_difference(a, b)
+        assert abs(O.length(sd) - 10.0) < 1e-9
+
+    def test_points_minus_area(self):
+        p = C.from_wkt("MULTIPOINT ((5 5), (20 20))")
+        sq = C.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        d = OV.difference(p, sq)
+        assert C.geom_eq(d, C.from_wkt("POINT (20 20)"))
+
+    def test_sliver_subpixel_consistency(self):
+        # regression for the ε-ladder: sub-pixel sliver B must not
+        # break the difference boundary (hypothesis-found case)
+        a = C.from_wkt("POLYGON ((0 0, 2 0, 0 999999, 0 0))")
+        b = C.from_wkt("POLYGON ((0 0, 0.333 0, 1000000 1, 0 0))")
+        d = OV.difference(a, b)
+        assert abs(O.area(d) - O.area(a)) < 1.0

@@ -239,3 +239,28 @@ def test_spark_functions_envelope_predicates(spark):
     assert row["i"] and row["area"] == 100.0
     assert row["t"] == "POLYGON"
     assert row["c"] == "POINT (5 5)"
+
+
+def test_pip_join_shuffle_path_matches_broadcast(spark):
+    """Large-large path: broadcast=False keeps WKB through the shuffle
+    join; results must match the broadcast-dict path exactly."""
+    from geospark.ops.joins import pip_join
+
+    rng = np.random.RandomState(13)
+    n = 800
+    pts = pd.DataFrame(
+        {"point_id": np.arange(n), "x": rng.uniform(-5, 25, n), "y": rng.uniform(-5, 25, n)}
+    )
+    polys = pd.DataFrame(
+        {
+            "poly_id": [0, 1],
+            "geom": [
+                C.to_wkb(C.from_wkt(SQ1)),
+                C.to_wkb(C.from_wkt("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")),
+            ],
+        }
+    )
+    bc = pip_join(spark.createDataFrame(pts), spark.createDataFrame(polys), broadcast=True).toPandas()
+    sh = pip_join(spark.createDataFrame(pts), spark.createDataFrame(polys), broadcast=False).toPandas()
+    assert set(zip(bc["point_id"], bc["poly_id"])) == set(zip(sh["point_id"], sh["poly_id"]))
+    assert len(bc) > 0
