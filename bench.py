@@ -119,7 +119,9 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    n_pages = int(os.environ.get("BENCH_PAGES", str(int(sf * 20_000_000))))
+    # default 8M pages at sf0.1 — large enough to amortize the ~2s
+    # fixed driver/stage floor so the recorded pages/sec is steady-state
+    n_pages = int(os.environ.get("BENCH_PAGES", str(int(sf * 80_000_000))))
     out = run(sf_dir, cpus, n_pages)
     print(json.dumps(out))
 
