@@ -16,11 +16,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_shipped = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Make `geospark` importable in executor python workers even when
+    the driver was launched from another cwd: ship a fresh zip via
+    addPyFile (idempotent per session)."""
+    key = id(spark.sparkContext)
+    if key in _shipped:
+        return
+    try:
+        import zipfile
+
+        zpath = os.path.join(_REPO, "dist", "geospark.zip")
+        os.makedirs(os.path.dirname(zpath), exist_ok=True)
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, dirs, files in os.walk(os.path.join(_REPO, "geospark")):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        z.write(p, os.path.relpath(p, _REPO))
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # same-cwd runs work via PYTHONPATH anyway
+    _shipped.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_workers(spark)
     from geospark.io.pages import generate_districts, generate_pages
     from geospark.ops.flagship import geocode_pip_tile
 
@@ -35,7 +64,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from geospark.queries import registry
 
-    return registry()
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
