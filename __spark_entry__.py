@@ -30,10 +30,11 @@ def _ensure_workers(spark: SparkSession) -> None:
     if key in _shipped:
         return
     try:
+        import tempfile
         import zipfile
 
-        zpath = os.path.join(_REPO, "dist", "geospark.zip")
-        os.makedirs(os.path.dirname(zpath), exist_ok=True)
+        # tempdir, not the repo: rebuilding in-tree would dirty git
+        zpath = os.path.join(tempfile.gettempdir(), "geospark_entry.zip")
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
             for root, dirs, files in os.walk(os.path.join(_REPO, "geospark")):
                 dirs[:] = [d for d in dirs if d != "__pycache__"]
