@@ -4,7 +4,12 @@ this environment, so this is a planar quadtree with Morton codes).
 
 A cell id packs (level, ix, iy) into one int64:
 
-    id = (morton(ix, iy) << 6) | level          (level 0..30)
+    id = (morton(ix, iy) << 6) | level          (level 0..28)
+
+Level cap 28: the packed id needs 2*level+6 bits, so level 29-30 would
+wrap the top morton bits off int64 (pack(2^29,0,30) == pack(0,0,30) —
+distinct cells would alias and joins would get spurious candidates).
+2*28+6 = 62 bits keeps every id a positive int64.  pack() range-checks.
 
 ix/iy are the cell coordinates at `level` (grid of 2^level × 2^level
 cells over the configured domain).  All encoders are vectorized numpy
@@ -21,7 +26,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-MAX_LEVEL = 30
+MAX_LEVEL = 28
 
 # domain default: covers British National Grid comfortably
 # (EPSG:27700 valid range is 0..700000 / 0..1300000; reference default
@@ -109,6 +114,8 @@ def _compact1by1(v: np.ndarray) -> np.ndarray:
 
 
 def pack(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
+    if level > MAX_LEVEL:
+        raise ValueError(f"cell level {level} > MAX_LEVEL {MAX_LEVEL} (int64 overflow)")
     m = _part1by1(np.asarray(ix)) | (_part1by1(np.asarray(iy)) << np.uint64(1))
     return ((m << np.uint64(6)) | np.uint64(level)).astype(np.int64)
 
@@ -136,8 +143,11 @@ def parent(cid: np.ndarray, levels_up: int = 1) -> np.ndarray:
 
 
 def pack_arr(ix: np.ndarray, iy: np.ndarray, level: np.ndarray) -> np.ndarray:
+    lv = np.asarray(level)
+    if lv.size and int(lv.max()) > MAX_LEVEL:
+        raise ValueError(f"cell level {int(lv.max())} > MAX_LEVEL {MAX_LEVEL}")
     m = _part1by1(np.asarray(ix)) | (_part1by1(np.asarray(iy)) << np.uint64(1))
-    return ((m << np.uint64(6)) | np.asarray(level).astype(np.uint64)).astype(np.int64)
+    return ((m << np.uint64(6)) | lv.astype(np.uint64)).astype(np.int64)
 
 
 def children(cid: int) -> List[int]:

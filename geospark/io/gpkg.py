@@ -239,6 +239,10 @@ def write_gpkg(
     Streams partitions through batched INSERTs (reference default
     4000, gpkg.clj:1074) and folds the layer extent into
     gpkg_contents (gpkg.clj:903-912, 1124-1126)."""
+    if if_exists not in ("fail", "append", "delete-rows", "drop-table"):
+        raise ValueError(
+            f"if_exists must be one of fail/append/delete-rows/drop-table, got {if_exists!r}"
+        )
     spatial = geom_col is not None and geom_col in df.columns
     con = sqlite3.connect(path)
     con.execute("PRAGMA journal_mode = WAL")
@@ -490,13 +494,24 @@ def amend_gpkg(
       update-set — each target row matched ≤1 time (error on dups)
       left-join  — duplicate matches multiply target rows
       outer-join — + insert unmatched source rows
-      right-join — + delete unmatched target rows
+      right-join — + delete unmatched target rows, insert unmatched source
     Implemented as the same set-based temp-table plan: stage the new
     values, mark duplicates, UPDATE singular matches, then per-method
-    insert/delete/multiply.
+    insert/delete/multiply.  Source rows stream via toLocalIterator
+    (never collected whole to the driver).
     """
-    pdf = df.toPandas() if hasattr(df, "toPandas") else pd.DataFrame(df)
-    set_cols = [c for c in pdf.columns if c != key]
+    if hasattr(df, "toLocalIterator"):
+        all_cols = [f.name for f in df.schema.fields]
+        row_iter = (tuple(r) for r in df.select(*all_cols).toLocalIterator())
+    else:
+        pdf = pd.DataFrame(df)
+        all_cols = list(pdf.columns)
+        row_iter = iter(pdf.itertuples(index=False, name=None))
+    if key not in all_cols:
+        raise ValueError(f"amend key column {key!r} not in input")
+    key_pos = all_cols.index(key)
+    set_cols = [c for c in all_cols if c != key]
+    set_pos = [all_cols.index(c) for c in set_cols]
     con = sqlite3.connect(path)
     try:
         con.execute("BEGIN")
@@ -506,11 +521,27 @@ def amend_gpkg(
             + ", ".join(f'"{c}"' for c in set_cols)
             + ", __singular INTEGER DEFAULT 1)"
         )
-        con.executemany(
-            f"INSERT INTO __amend ({cols_ddl}) VALUES ({','.join('?' * (1 + len(set_cols)))})",
-            [tuple(r) for r in pdf[[key] + set_cols].itertuples(index=False, name=None)],
+        ins_sql = (
+            f"INSERT INTO __amend ({cols_ddl}) VALUES ({','.join('?' * (1 + len(set_cols)))})"
         )
+        batch: list = []
+        for r in row_iter:
+            vals = [r[key_pos]] + [r[i] for i in set_pos]
+            vals = [bytes(v) if isinstance(v, bytearray) else v for v in vals]
+            batch.append(tuple(vals))
+            if len(batch) >= 4000:
+                con.executemany(ins_sql, batch)
+                batch.clear()
+        if batch:
+            con.executemany(ins_sql, batch)
         con.execute("CREATE INDEX __amend_idx ON __amend (" + key + ")")
+        # keys that matched the ORIGINAL table — recorded before any
+        # mutation so the unmatched-source insert below is stable even
+        # after the duplicate-multiply step rewrites rowids
+        con.execute(
+            f'CREATE TEMP TABLE __matched AS SELECT DISTINCT a.{key} AS k '
+            f'FROM __amend a JOIN "{table}" t ON t.rowid = a.{key}'
+        )
         # mark duplicate-key rows (gpkg.clj:1271-1286)
         con.execute(
             f"UPDATE __amend SET __singular = 0 WHERE {key} IN "
@@ -526,6 +557,18 @@ def amend_gpkg(
         if method == "right-join":
             con.execute(
                 f'DELETE FROM "{table}" WHERE rowid NOT IN (SELECT {key} FROM __amend)'
+            )
+        if method in ("outer-join", "right-join"):
+            # insert unmatched source rows (reference ':outer-join does
+            # :left-join and then inserts unmatched rows',
+            # gpkg.clj:1318-1372).  Singular non-null keys become the
+            # new fid; duplicates/nulls take autoincrement fids.
+            sel_cols = ", ".join(f'a."{c}"' for c in set_cols)
+            con.execute(
+                f'INSERT INTO "{table}" (fid, {", ".join(chr(34)+c+chr(34) for c in set_cols)}) '
+                f"SELECT CASE WHEN a.__singular = 1 THEN a.{key} ELSE NULL END, {sel_cols} "
+                f"FROM __amend a "
+                f"WHERE a.{key} IS NULL OR a.{key} NOT IN (SELECT k FROM __matched)"
             )
         if method in ("left-join", "outer-join", "right-join") and ndup:
             # multiply: insert copies joined with the duplicate rows,

@@ -69,11 +69,32 @@ def geocode_pip_tile(
     stay out of the hot loop; `geocode_pages` remains the text
     extraction contract.  include_url=False drops the widest output
     column when downstream only needs the id (less Arrow bandwidth).
-    """
-    from .joins import choose_level
 
+    Size gate: the broadcast cell index requires a driver collect of
+    the polygon table; above `broadcast_threshold` estimated bytes the
+    fused plan is refused and the pipeline decomposes into
+    geocode_pages + pip_join's shuffle cell-join (identical output).
+    """
+    from .joins import BROADCAST_MAX_BYTES, choose_level, estimate_build_bytes, pip_join
+
+    broadcast_threshold = BROADCAST_MAX_BYTES
     if level is None:
         level = choose_level(polys, poly_geom, grid)
+    if estimate_build_bytes(polys, poly_geom) > broadcast_threshold:
+        from ..extract.geocode import geocode_pages
+
+        pts = geocode_pages(pages)
+        out = pip_join(
+            pts, polys, point_id="page_id", x_col="x", y_col="y",
+            poly_id=poly_id, poly_geom=poly_geom, level=level, grid=grid,
+            broadcast=False, keep_cols=(["url"] if include_url else []),
+            tile_level=tile_level, tile_grid=grid,
+        )
+        return out.select(
+            F.col("point_id").alias("page_id"),
+            *(["url"] if include_url else []),
+            "poly_id", "cell_id",
+        )
     rows = [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()]
     index = build_cell_index(rows, grid, level)
     bc = pages.sparkSession.sparkContext.broadcast(index)
@@ -172,14 +193,21 @@ def geocode_pip_tile_jvm(
     where the JVM has nothing comparable.  The float parse of the
     fixed '%.2f' geo token is exact in both runtimes, so results are
     bit-identical to the python extractor (asserted in tests).
-    """
-    from .joins import choose_level
 
+    Size gate: above `broadcast_threshold` estimated build bytes the
+    broadcast cell index (driver collect) is refused and the JVM-
+    extracted points go through pip_join's shuffle cell-join instead.
+    """
+    from .joins import BROADCAST_MAX_BYTES, choose_level, estimate_build_bytes, pip_join
+
+    broadcast_threshold = BROADCAST_MAX_BYTES
     if level is None:
         level = choose_level(polys, poly_geom, grid)
-    rows = [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()]
-    index = build_cell_index(rows, grid, level)
-    bc = pages.sparkSession.sparkContext.broadcast(index)
+    use_broadcast = estimate_build_bytes(polys, poly_geom) <= broadcast_threshold
+    if use_broadcast:
+        rows = [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()]
+        index = build_cell_index(rows, grid, level)
+        bc = pages.sparkSession.sparkContext.broadcast(index)
 
     html_str = F.col("html").cast("string")
     # one regex pass; split the captured "x,y" pair afterwards
@@ -200,6 +228,18 @@ def geocode_pip_tile_jvm(
             F.col("__p")[1].cast("double").alias("y"),
         )
     )
+    if not use_broadcast:
+        out = pip_join(
+            pts, polys, point_id="page_id", x_col="x", y_col="y",
+            poly_id=poly_id, poly_geom=poly_geom, level=level, grid=grid,
+            broadcast=False, keep_cols=(["url"] if include_url else []),
+            tile_level=tile_level, tile_grid=grid,
+        )
+        return out.select(
+            F.col("point_id").alias("page_id"),
+            *(["url"] if include_url else []),
+            "poly_id", "cell_id",
+        )
 
     fields = [StructField("page_id", LongType())]
     if include_url:

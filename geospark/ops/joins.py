@@ -51,6 +51,29 @@ _PRED_FNS = {
 _PREP_CACHE: dict = {}
 _PREP_CACHE_MAX = 4096
 
+# build-side size gate: above this estimate the broadcast-dict plan
+# (driver collect + sc.broadcast) is refused and the shuffle cell-join
+# runs instead — an unbounded collect() OOMs the driver long before
+# any task starts (SURVEY §4.2: selection by size estimate, then AQE)
+BROADCAST_MAX_BYTES = 256 << 20
+
+
+def estimate_build_bytes(polys: DataFrame, geom_col: str, sample: int = 1000) -> int:
+    """Cheap build-side size estimate: row count × sampled avg WKB
+    length (+ dict-entry overhead).  Two small jobs; the count is
+    metadata-only on parquet sources."""
+    n = polys.count()
+    if n == 0:
+        return 0
+    avg = (
+        polys.select(F.length(F.col(geom_col)).alias("l"))
+        .limit(sample)
+        .agg(F.avg("l"))
+        .collect()[0][0]
+        or 0.0
+    )
+    return int(n * (avg + 64))
+
 
 def _prepared(key, wkb: bytes) -> gpred.PreparedPolygon:
     # key must include the geometry content: python workers are reused
@@ -88,7 +111,9 @@ def choose_level(polys: DataFrame, geom_col: str, grid: CellGrid, sample: int = 
     # bias 3 levels finer than the median polygon: candidate count
     # falls ~4× per level while the (broadcast) cover set grows only
     # linearly with polygon perimeter — measured sweet spot
-    return min(grid.level_for_size(max(med, 1e-9)) + 3, 30)
+    from ..cells.cellid import MAX_LEVEL
+
+    return min(grid.level_for_size(max(med, 1e-9)) + 3, MAX_LEVEL)
 
 
 def pip_join(
@@ -108,6 +133,7 @@ def pip_join(
     cell_col: Optional[str] = None,
     tile_level: Optional[int] = None,
     tile_grid: Optional[CellGrid] = None,
+    broadcast_threshold: int = BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Point-in-polygon (or other predicate) join.
 
@@ -130,8 +156,11 @@ def pip_join(
         level = choose_level(polys, poly_geom, grid)
 
     spark = points.sparkSession
-    if broadcast is None:
-        broadcast = True  # small-dim default; caller opts out for huge build sides
+    if broadcast is not False:
+        # size-gate the collect-based plan: both the None default and an
+        # explicit True fall back to the shuffle cell-join when the
+        # estimated build side won't fit a driver/executor broadcast
+        broadcast = estimate_build_bytes(polys, poly_geom) <= broadcast_threshold
 
     build = polys.select(
         F.col(poly_id).alias("__pid"),
@@ -272,18 +301,55 @@ def predicate_join(
     )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # decode each right geometry ONCE per contiguous slice (argsort
+        # by __rid, the pip_join refine pattern at the `bounds` trick
+        # above), cache decoded left geoms per batch, and envelope-
+        # prefilter before the exact kernel — every supported predicate
+        # requires at least one shared point, so disjoint bboxes decide
+        # false without touching the geometry kernels.
+        geom_cache: dict = {}
+
+        def decoded(key, wkb):
+            g = geom_cache.get(key)
+            if g is None:
+                if len(geom_cache) >= _PREP_CACHE_MAX:
+                    geom_cache.clear()
+                g = gc.from_wkb(wkb)
+                geom_cache[key] = g
+            return g
+
         for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            rid = pdf["__rid"].to_numpy()
+            order = np.argsort(rid, kind="stable")
+            rid_s = rid[order]
+            lid_s = pdf["__lid"].to_numpy()[order]
+            lwkb_s = pdf["__lwkb"].to_numpy()[order]
+            rwkb_s = pdf["__rwkb"].to_numpy()[order]
+            bounds = np.flatnonzero(np.r_[True, rid_s[1:] != rid_s[:-1], True])
             keep_l, keep_r = [], []
-            for lid, lw, rid, rw in zip(
-                pdf["__lid"], pdf["__lwkb"], pdf["__rid"], pdf["__rwkb"]
-            ):
-                ga = gc.from_wkb(lw)
-                gb = gc.from_wkb(rw)
-                if ga.is_empty() or gb.is_empty():
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                gb = decoded(("r", rid_s[s]), rwkb_s[s])
+                if gb.is_empty():
                     continue
-                if fn(ga, gb):
-                    keep_l.append(lid)
-                    keep_r.append(rid)
+                benv = gb.envelope()
+                for i in range(s, e):
+                    ga = decoded(("l", lid_s[i]), lwkb_s[i])
+                    if ga.is_empty():
+                        continue
+                    aenv = ga.envelope()
+                    if aenv and benv and (
+                        aenv[2] < benv[0]
+                        or benv[2] < aenv[0]
+                        or aenv[3] < benv[1]
+                        or benv[3] < aenv[1]
+                    ):
+                        continue
+                    if fn(ga, gb):
+                        keep_l.append(lid_s[i])
+                        keep_r.append(rid_s[i])
             if keep_l:
                 yield pd.DataFrame({"left_id": keep_l, "right_id": keep_r})
 

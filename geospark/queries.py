@@ -377,11 +377,16 @@ FROM s
 
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     """Tumbling-window aggregation; sum in integer cents so the result
-    is independent of float summation order."""
+    is independent of float summation order.  `hour` is emitted as a
+    formatted string on BOTH sides: Spark TimestampType (session-tz)
+    vs DuckDB naive TIMESTAMP hash differently in the driver even when
+    every value is identical (round-1 fail was representation-only)."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
             F.col("event_type"),
         )
         .agg(
@@ -392,7 +397,7 @@ def q_events_hourly(spark, sf_dir) -> DataFrame:
 
 
 Q_EVENTS_SQL = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        COUNT(*) AS n_events,
        SUM(CAST(round(value*100) AS BIGINT)) AS cents_sum
 FROM events GROUP BY 1, 2

@@ -12,12 +12,23 @@ from geospark.geom import core as C
 def test_pack_unpack_roundtrip():
     ix = np.array([0, 5, 1000, (1 << 20) - 1])
     iy = np.array([0, 7, 999, 12345])
-    for level in (0, 5, 16, 20, 30):
+    for level in (0, 5, 16, 20, 28):
         n = 1 << level
         jx, jy = ix % n, iy % n
         cid = CI.pack(jx, jy, level)
+        assert (cid > 0).all() or level == 0  # never wraps negative/aliases
         l, ix2, iy2 = CI.unpack(cid)
         assert (l == level).all() and (ix2 == jx).all() and (iy2 == jy).all()
+
+
+def test_pack_rejects_overflow_levels():
+    # 2*level+6 bits: level 29-30 would alias distinct cells
+    # (pack(2^29,0,30) == pack(0,0,30) pre-fix) — now a hard error
+    with pytest.raises(ValueError):
+        CI.pack(np.array([0]), np.array([0]), 29)
+    assert CI.MAX_LEVEL == 28
+    big = CI.pack(np.array([(1 << 28) - 1]), np.array([(1 << 28) - 1]), 28)
+    assert int(big[0]) > 0  # top of the domain still a positive int64
 
 
 def test_parent_children():

@@ -134,3 +134,46 @@ class TestAmend:
             pd.DataFrame({"rowid": [1], "v": ["A"]}), path, "t", method="right-join"
         )
         assert self._rows(path) == [(10, "A")]
+
+    def test_outer_join_inserts_unmatched_source(self, spark, tmp_path):
+        # reference: ':outer-join does :left-join and then inserts
+        # unmatched rows' — rowid=99 is absent so the row must be
+        # INSERTed, not silently dropped
+        path = self._mk(spark, tmp_path, "oj")
+        gpkg.amend_gpkg(
+            pd.DataFrame({"rowid": [1, 99], "v": ["A", "NEW"]}),
+            path,
+            "t",
+            method="outer-join",
+        )
+        assert self._rows(path) == [(None, "NEW"), (10, "A"), (20, "b"), (30, "c")]
+        con = sqlite3.connect(path)
+        fid = con.execute("SELECT fid FROM t WHERE v = 'NEW'").fetchone()[0]
+        con.close()
+        assert fid == 99  # singular unmatched key becomes the new fid
+
+    def test_right_join_inserts_unmatched_source(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path, "rji")
+        gpkg.amend_gpkg(
+            pd.DataFrame({"rowid": [1, 99], "v": ["A", "NEW"]}),
+            path,
+            "t",
+            method="right-join",
+        )
+        # unmatched targets (rowids 2,3) deleted; unmatched source inserted
+        assert self._rows(path) == [(None, "NEW"), (10, "A")]
+
+    def test_amend_streams_spark_df(self, spark, tmp_path):
+        # the Spark-DataFrame input path (toLocalIterator, no toPandas)
+        path = self._mk(spark, tmp_path, "sdf")
+        sdf = spark.createDataFrame(pd.DataFrame({"rowid": [2], "v": ["B2"]}))
+        gpkg.amend_gpkg(sdf, path, "t")
+        assert self._rows(path) == [(10, "a"), (20, "B2"), (30, "c")]
+
+
+def test_write_if_exists_rejects_unknown_mode(spark, tmp_path):
+    path = str(tmp_path / "bad_mode.gpkg")
+    df = spark.createDataFrame(pd.DataFrame({"k": [1]}))
+    gpkg.write_gpkg(df, path, "t", geom_col=None)
+    with pytest.raises(ValueError):
+        gpkg.write_gpkg(df, path, "t", geom_col=None, if_exists="replace")

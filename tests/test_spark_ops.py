@@ -264,3 +264,81 @@ def test_pip_join_shuffle_path_matches_broadcast(spark):
     sh = pip_join(spark.createDataFrame(pts), spark.createDataFrame(polys), broadcast=False).toPandas()
     assert set(zip(bc["point_id"], bc["poly_id"])) == set(zip(sh["point_id"], sh["poly_id"]))
     assert len(bc) > 0
+
+
+def test_pip_join_size_gate_falls_back_to_shuffle(spark):
+    """A build side over the broadcast threshold must take the shuffle
+    path (no unbounded driver collect) with identical output — even
+    when broadcast=True was requested."""
+    from geospark.ops.joins import estimate_build_bytes, pip_join
+
+    rng = np.random.RandomState(29)
+    n = 400
+    pts = pd.DataFrame(
+        {"point_id": np.arange(n), "x": rng.uniform(-5, 25, n), "y": rng.uniform(-5, 25, n)}
+    )
+    polys = pd.DataFrame(
+        {
+            "poly_id": [0, 1],
+            "geom": [
+                C.to_wkb(C.from_wkt(SQ1)),
+                C.to_wkb(C.from_wkt("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")),
+            ],
+        }
+    )
+    spolys = spark.createDataFrame(polys)
+    est = estimate_build_bytes(spolys, "geom")
+    assert est > 0
+    gated = pip_join(
+        spark.createDataFrame(pts), spolys, broadcast=True, broadcast_threshold=1
+    ).toPandas()
+    ref = pip_join(
+        spark.createDataFrame(pts), spolys, broadcast=False
+    ).toPandas()
+    assert set(zip(gated["point_id"], gated["poly_id"])) == set(
+        zip(ref["point_id"], ref["poly_id"])
+    )
+    assert len(gated) > 0
+
+
+def test_flagship_size_gate_parity(spark):
+    """geocode_pip_tile_jvm above the gate decomposes into the shuffle
+    cell-join; output must match the broadcast fused plan exactly."""
+    from geospark.ops.flagship import geocode_pip_tile_jvm
+
+    n = 300
+    pages = spark.range(n).select(
+        F.col("id").alias("page_id"),
+        F.format_string("https://p%d.example.org/", F.col("id")).alias("url"),
+        F.encode(
+            F.format_string(
+                "<html><p>geo:%.2f,%.2f</p></html>",
+                (F.col("id") * 7919 % 1000).cast("double") / 10,
+                (F.col("id") * 104729 % 1000).cast("double") / 10,
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": [0, 1],
+                "geom": [
+                    C.to_wkb(C.from_wkt("POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))")),
+                    C.to_wkb(C.from_wkt("POLYGON ((40 40, 100 40, 100 100, 40 100, 40 40))")),
+                ],
+            }
+        )
+    )
+    fused = geocode_pip_tile_jvm(pages, polys, tile_level=14).toPandas()
+    import geospark.ops.joins as J
+
+    saved = J.BROADCAST_MAX_BYTES
+    try:
+        J.BROADCAST_MAX_BYTES = 1
+        gated = geocode_pip_tile_jvm(pages, polys, tile_level=14).toPandas()
+    finally:
+        J.BROADCAST_MAX_BYTES = saved
+    key = lambda d: set(zip(d["page_id"], d["poly_id"], d["cell_id"]))
+    assert key(fused) == key(gated)
+    assert len(fused) > 0
