@@ -372,7 +372,23 @@ def _interiors_intersect(a: Geometry, b: Geometry) -> bool:
             s = _interior_sample(g_from)
             if s and pp.locate_batch(np.array([s[0]]), np.array([s[1]]))[0] == INTERIOR:
                 return True
-        return False
+        # the sampling heuristics above all miss when every corner of
+        # the overlap region lies ON both boundaries and neither
+        # centroid falls inside the other (e.g. same-x-extent boxes
+        # overlapping in a strip).  Cheap reject first: a degenerate
+        # envelope overlap (zero width/height) cannot hold 2D interior.
+        ea, eb = a.envelope(), b.envelope()
+        if min(ea[2], eb[2]) <= max(ea[0], eb[0]) or min(ea[3], eb[3]) <= max(ea[1], eb[1]):
+            return False
+        # exact decision via the overlay kernel: interiors of two area
+        # geometries intersect iff their intersection has positive area
+        from .overlay import intersection as _ov_intersection
+        from .ops import area as _ov_area
+
+        try:
+            return _ov_area(_ov_intersection(a, b)) > 0.0
+        except Exception:
+            return False  # overlay failure → keep the heuristic verdict
     if 0 in (da, db):
         pts = a if da == 0 else b
         other = b if da == 0 else a

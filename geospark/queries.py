@@ -227,6 +227,12 @@ def q_minhash_pairs(spark, sf_dir) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _simhash_sql() -> str:
+    from .text.dedup import SIMHASH_SQL
+
+    return SIMHASH_SQL
+
+
 def _minhash_sql() -> str:
     from .text.dedup import MINHASH_A, MINHASH_B, MERSENNE
 
@@ -252,7 +258,8 @@ FROM bands l JOIN bands r
 
 
 def q_simhash(spark, sf_dir) -> DataFrame:
-    """64-bit SimHash (pandas-UDF kernel; rows-only driver check)."""
+    """64-bit SimHash (vectorized pandas-UDF kernel; exact DuckDB
+    oracle via md5-derived bit arithmetic)."""
     from .text.dedup import simhash64
 
     return simhash64(_t(spark, sf_dir, "documents"))
@@ -524,7 +531,8 @@ Q_GPKG_ROUNDTRIP_SQL = CUSTOMER_POINTS_SQL
 
 def q_dissolve_region(spark, sf_dir) -> DataFrame:
     """Geometric dissolve (unary union) of nation boxes per region —
-    arrangement-union kernel in applyInPandas; rows-only check."""
+    arrangement-union kernel in applyInPandas.  Oracle: inclusion-
+    exclusion over the ≤5 integer boxes per region (exact in SQL)."""
     from .functions import st_area
     from .ops.dissolve import dissolve
 
@@ -538,16 +546,59 @@ def q_dissolve_region(spark, sf_dir) -> DataFrame:
     )
 
 
-def q_buffer_area(spark, sf_dir) -> DataFrame:
-    """Buffer kernel through the Spark UDF path (rows-only check —
-    areas are engine-defined by arc quantization)."""
-    from .functions import st_area, st_buffer
+Q_DISSOLVE_SQL = """
+WITH boxes AS (
+  SELECT n_regionkey AS r,
+         ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS i,
+         ((n_nationkey*773)%18000)::DOUBLE  AS x0,
+         ((n_nationkey*1571)%18000)::DOUBLE AS y0
+  FROM nation),
+-- inclusion-exclusion over every non-empty subset of a region's boxes
+-- (bitmask s; each region has exactly 5 nations in TPC-H)
+subsets AS (
+  SELECT r, s,
+         MAX(x0) AS xlo, MIN(x0+2500) AS xhi,
+         MAX(y0) AS ylo, MIN(y0+2500) AS yhi,
+         COUNT(*) AS k
+  FROM boxes, range(1, 32) t(s)
+  WHERE (s >> (i-1)::INTEGER) & 1 = 1
+  GROUP BY r, s
+  HAVING COUNT(*) = bit_count(s::BIT)  -- subset fully present
+)
+SELECT r AS n_regionkey,
+       ROUND(SUM((CASE WHEN k%2=1 THEN 1 ELSE -1 END)
+                 * GREATEST(0, xhi-xlo) * GREATEST(0, yhi-ylo)), 2) AS union_area
+FROM subsets GROUP BY r
+"""
 
-    boxes = nation_boxes(spark, sf_dir)
-    return boxes.select(
-        F.col("poly_id").alias("n_nationkey"),
-        F.round(st_area(st_buffer(100.0, 2)(F.col("geom"))), 2).alias("buffered_area"),
+
+def q_buffer_area(spark, sf_dir) -> DataFrame:
+    """Buffer kernel through the Spark UDF path on small integer boxes.
+    Round-join buffer of a W×W box at distance d with quad_segs=q has
+    the closed form W² + 4·W·d + 2q·d²·sin(π/2q) (straight offsets +
+    4 quantized quarter-arcs) — exact enough for a 2 dp oracle."""
+    from .functions import st_area, st_buffer, st_geomfromtext
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x0 = (k * 3) % 50
+    y0 = (k * 7) % 50
+    wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        x0, y0, x0 + 25, y0, x0 + 25, y0 + 25, x0, y0 + 25, x0, y0,
     )
+    boxes = n.select(k.alias("n_nationkey"), st_geomfromtext(wkt).alias("geom"))
+    return boxes.select(
+        "n_nationkey",
+        F.round(st_area(st_buffer(2.0, 4)(F.col("geom"))), 2).alias("buffered_area"),
+    )
+
+
+Q_BUFFER_SQL = """
+SELECT n_nationkey,
+       ROUND(625.0 + 4*25*2.0 + 2*4*(2.0*2.0)*sin(pi()/(2*4)), 2) AS buffered_area
+FROM nation
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -555,7 +606,20 @@ def q_buffer_area(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def registry() -> Dict[str, Callable]:
+    from .queries_geom import (
+        q_cut_line,
+        q_overlay_areas,
+        q_polygonize,
+        q_predicates_box,
+        q_reproject_roundtrip,
+    )
+
     return {
+        "overlay_areas": q_overlay_areas,
+        "cut_line": q_cut_line,
+        "polygonize": q_polygonize,
+        "predicates_box": q_predicates_box,
+        "reproject_roundtrip": q_reproject_roundtrip,
         "pip_join": q_pip_join,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
@@ -579,7 +643,20 @@ def registry() -> Dict[str, Callable]:
 
 
 def oracles() -> Dict[str, str]:
+    from .queries_geom import (
+        Q_CUT_LINE_SQL,
+        Q_OVERLAY_SQL,
+        Q_POLYGONIZE_SQL,
+        Q_PREDICATES_SQL,
+        Q_REPROJECT_SQL,
+    )
+
     return {
+        "overlay_areas": Q_OVERLAY_SQL,
+        "cut_line": Q_CUT_LINE_SQL,
+        "polygonize": Q_POLYGONIZE_SQL,
+        "predicates_box": Q_PREDICATES_SQL,
+        "reproject_roundtrip": Q_REPROJECT_SQL,
         "pip_join": Q_PIP_JOIN_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,
         "knn": Q_KNN_SQL,
@@ -595,5 +672,8 @@ def oracles() -> Dict[str, str]:
         "geocode": Q_GEOCODE_SQL,
         "box_join": Q_BOX_JOIN_SQL,
         "gpkg_roundtrip": Q_GPKG_ROUNDTRIP_SQL,
-        # simhash, ann_lsh, dissolve_region, buffer_area: rows-only
+        "simhash": _simhash_sql(),
+        "dissolve_region": Q_DISSOLVE_SQL,
+        "buffer_area": Q_BUFFER_SQL,
+        # ann_lsh: approximate → rows-only + recall test in pytest
     }

@@ -1,0 +1,411 @@
+"""Driver-oracle queries for the GEOMETRY CORE — overlay, linear
+referencing, polygonize/node, predicate truth tables, reprojection.
+
+Each query runs the real distributed kernels (pandas-UDF stages over
+the same geom/* modules the operators use) on inputs constructed with
+integer arithmetic, so an exact ANSI-SQL closed form exists for the
+DuckDB oracle (driver compares rows + schema + value hash at sf0.01).
+
+Reference semantics verified here:
+  overlay       core.clj:401-448 (cg/intersection, difference, ...)
+  cut-line      core.clj:593-643
+  polygonize    core.clj:566-578, noder.clj:43-88
+  predicates    index_test.clj:16-93 truth tables
+  reproject     crs_test.clj:41-64
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# overlay: intersection / union / difference / sym-difference areas
+# ---------------------------------------------------------------------------
+
+def q_overlay_areas(spark, sf_dir) -> DataFrame:
+    """Box-pair overlay through the snap-round overlay kernels
+    (geom/overlay.py; semantics core.clj:421-448).  Integer-coordinate
+    boxes → every area is an exact integer, closed-form in SQL."""
+    from .functions import st_geomfromtext
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ax0, ay0 = (k * 7) % 60, (k * 11) % 60
+    bx0, by0 = (k * 13) % 60, (k * 17) % 60
+
+    def box_wkt(x0, y0, s):
+        return F.format_string(
+            "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+            x0, y0, x0 + s, y0, x0 + s, y0 + s, x0, y0 + s, x0, y0,
+        )
+
+    src = c.select(
+        k.alias("c_custkey"),
+        st_geomfromtext(box_wkt(ax0, ay0, 20)).alias("ga"),
+        st_geomfromtext(box_wkt(bx0, by0, 25)).alias("gb"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("c_custkey", src.schema["c_custkey"].dataType),
+            StructField("inter_area", DoubleType()),
+            StructField("union_area", DoubleType()),
+            StructField("diff_area", DoubleType()),
+            StructField("symdiff_area", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom import overlay as ov
+        from .geom.ops import area
+
+        for pdf in batches:
+            ia, ua, da, sa = [], [], [], []
+            for wa, wb in zip(pdf["ga"], pdf["gb"]):
+                a = gc.from_wkb(wa)
+                b = gc.from_wkb(wb)
+                ia.append(area(ov.intersection(a, b)))
+                ua.append(area(ov.union(a, b)))
+                da.append(area(ov.difference(a, b)))
+                sa.append(area(ov.sym_difference(a, b)))
+            yield pd.DataFrame(
+                {
+                    "c_custkey": pdf["c_custkey"],
+                    "inter_area": np.round(ia, 2),
+                    "union_area": np.round(ua, 2),
+                    "diff_area": np.round(da, 2),
+                    "symdiff_area": np.round(sa, 2),
+                }
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_OVERLAY_SQL = """
+WITH b AS (
+  SELECT c_custkey,
+         (c_custkey*7)%60  AS ax0, (c_custkey*11)%60 AS ay0,
+         (c_custkey*13)%60 AS bx0, (c_custkey*17)%60 AS by0
+  FROM customer),
+i AS (
+  SELECT c_custkey,
+         GREATEST(0, LEAST(ax0+20, bx0+25) - GREATEST(ax0, bx0))
+         * GREATEST(0, LEAST(ay0+20, by0+25) - GREATEST(ay0, by0)) AS inter
+  FROM b)
+SELECT c_custkey,
+       ROUND(inter::DOUBLE, 2)              AS inter_area,
+       ROUND((400 + 625 - inter)::DOUBLE, 2) AS union_area,
+       ROUND((400 - inter)::DOUBLE, 2)       AS diff_area,
+       ROUND((400 + 625 - 2*inter)::DOUBLE, 2) AS symdiff_area
+FROM i
+"""
+
+
+# ---------------------------------------------------------------------------
+# cut-line: linear referencing on axis-parallel integer polylines
+# ---------------------------------------------------------------------------
+
+def q_cut_line(spark, sf_dir) -> DataFrame:
+    """cut_line (geom/linear.py:219; semantics core.clj:593-643) on an
+    L-shaped polyline (0,0)→(L,0)→(L,M) cut by a vertical line x=c and
+    a horizontal line y=d → exactly 3 pieces with integer lengths
+    (c, L-c+d, M-d) in order along the line."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    L = 10 + (k * 3) % 15
+    M = 5 + (k * 7) % 10
+    c = 1 + (k * 5) % (L - 1)
+    d = 1 + (k * 11) % (M - 1)
+    src = n.select(
+        k.alias("n_nationkey"),
+        L.cast("long").alias("L"),
+        M.cast("long").alias("M"),
+        c.cast("long").alias("c"),
+        d.cast("long").alias("d"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("n_pieces", LongType()),
+            StructField("len1", DoubleType()),
+            StructField("len2", DoubleType()),
+            StructField("len3", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.linear import cut_line
+        from .geom.ops import length as glen
+
+        for pdf in batches:
+            rows = []
+            for key, L_, M_, c_, d_ in zip(
+                pdf["n_nationkey"], pdf["L"], pdf["M"], pdf["c"], pdf["d"]
+            ):
+                line = gc.line_string([(0.0, 0.0), (float(L_), 0.0), (float(L_), float(M_))])
+                cutter = gc.multi_line_string(
+                    [
+                        [(float(c_), -1.0), (float(c_), float(M_) + 1.0)],
+                        [(-1.0, float(d_)), (float(L_) + 1.0, float(d_))],
+                    ]
+                )
+                pieces = cut_line(line, cutter)
+                lens = [round(glen(p), 6) for p in pieces]
+                while len(lens) < 3:
+                    lens.append(float("nan"))
+                rows.append((key, len(pieces), lens[0], lens[1], lens[2]))
+            yield pd.DataFrame(
+                rows, columns=["n_nationkey", "n_pieces", "len1", "len2", "len3"]
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_CUT_LINE_SQL = """
+WITH p AS (
+  SELECT n_nationkey,
+         10 + (n_nationkey*3)%15 AS L,
+         5  + (n_nationkey*7)%10 AS M
+  FROM nation),
+q AS (
+  SELECT n_nationkey, L, M,
+         1 + (n_nationkey*5)  % (L-1) AS c,
+         1 + (n_nationkey*11) % (M-1) AS d
+  FROM p)
+SELECT n_nationkey,
+       3::BIGINT AS n_pieces,
+       ROUND(c::DOUBLE, 6)           AS len1,
+       ROUND((L - c + d)::DOUBLE, 6) AS len2,
+       ROUND((M - d)::DOUBLE, 6)     AS len3
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# polygonize: face extraction from a noded integer grid
+# ---------------------------------------------------------------------------
+
+def q_polygonize(spark, sf_dir) -> DataFrame:
+    """Snap-round noding + polygonization (geom/noding.py:220,373;
+    semantics noder.clj:43-88, core.clj:566-578) of an nx×ny unit grid
+    of crossing lines → nx·ny unit faces."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        (2 + k % 4).cast("long").alias("nx"),
+        (2 + k % 3).cast("long").alias("ny"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("n_faces", LongType()),
+            StructField("total_area", DoubleType()),
+            StructField("total_perimeter", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.noding import polygonize
+        from .geom.ops import area, length as glen
+
+        for pdf in batches:
+            rows = []
+            for key, nx, ny in zip(pdf["n_nationkey"], pdf["nx"], pdf["ny"]):
+                nx, ny = int(nx), int(ny)
+                paths = [
+                    gc.line_string([(float(i), 0.0), (float(i), float(ny))])
+                    for i in range(nx + 1)
+                ] + [
+                    gc.line_string([(0.0, float(j)), (float(nx), float(j))])
+                    for j in range(ny + 1)
+                ]
+                faces = polygonize(paths)
+                rows.append(
+                    (
+                        key,
+                        len(faces),
+                        round(sum(area(f) for f in faces), 6),
+                        round(sum(glen(f) for f in faces), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["n_nationkey", "n_faces", "total_area", "total_perimeter"],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_POLYGONIZE_SQL = """
+SELECT n_nationkey,
+       ((2 + n_nationkey%4) * (2 + n_nationkey%3))::BIGINT AS n_faces,
+       ROUND(((2 + n_nationkey%4) * (2 + n_nationkey%3))::DOUBLE, 6) AS total_area,
+       ROUND((4 * (2 + n_nationkey%4) * (2 + n_nationkey%3))::DOUBLE, 6) AS total_perimeter
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# predicate truth table over constructed boxes
+# ---------------------------------------------------------------------------
+
+def q_predicates_box(spark, sf_dir) -> DataFrame:
+    """All five binary predicates via the exact kernels
+    (geom/predicates.py; truth tables index_test.clj:16-93) over
+    625 box pairs covering disjoint / touch / overlap / contain."""
+    from .functions import st_geomfromtext
+
+    n = _t(spark, sf_dir, "nation")
+
+    def boxes(key_alias, mulx, muly, sizes):
+        k = F.col("n_nationkey")
+        x0 = (k * mulx) % 20
+        y0 = (k * muly) % 20
+        s = sizes[0] + sizes[1] * (k % sizes[2])
+        wkt = F.format_string(
+            "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+            x0, y0, x0 + s, y0, x0 + s, y0 + s, x0, y0 + s, x0, y0,
+        )
+        return n.select(k.alias(key_alias), st_geomfromtext(wkt).alias(f"g_{key_alias}"))
+
+    A = boxes("a_key", 3, 7, (5, 5, 3))
+    B = boxes("b_key", 9, 13, (5, 5, 2))
+    src = A.crossJoin(B)
+    out_schema = StructType(
+        [
+            StructField("a_key", src.schema["a_key"].dataType),
+            StructField("b_key", src.schema["b_key"].dataType),
+            StructField("p_intersects", BooleanType()),
+            StructField("p_touches", BooleanType()),
+            StructField("p_overlaps", BooleanType()),
+            StructField("p_covers", BooleanType()),
+            StructField("p_contains", BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom import predicates as gp
+
+        for pdf in batches:
+            rows = []
+            for ak, bk, wa, wb in zip(
+                pdf["a_key"], pdf["b_key"], pdf["g_a_key"], pdf["g_b_key"]
+            ):
+                a = gc.from_wkb(wa)
+                b = gc.from_wkb(wb)
+                rows.append(
+                    (
+                        ak,
+                        bk,
+                        gp.intersects(a, b),
+                        gp.touches(a, b),
+                        gp.overlaps(a, b),
+                        gp.covers(a, b),
+                        gp.contains(a, b),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "a_key",
+                    "b_key",
+                    "p_intersects",
+                    "p_touches",
+                    "p_overlaps",
+                    "p_covers",
+                    "p_contains",
+                ],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_PREDICATES_SQL = """
+WITH a AS (
+  SELECT n_nationkey AS a_key,
+         (n_nationkey*3)%20 AS x0, (n_nationkey*7)%20 AS y0,
+         5 + 5*(n_nationkey%3) AS s
+  FROM nation),
+b AS (
+  SELECT n_nationkey AS b_key,
+         (n_nationkey*9)%20 AS x0, (n_nationkey*13)%20 AS y0,
+         5 + 5*(n_nationkey%2) AS s
+  FROM nation),
+p AS (
+  SELECT a.a_key, b.b_key,
+         a.x0 AS ax0, a.y0 AS ay0, a.x0+a.s AS ax1, a.y0+a.s AS ay1,
+         b.x0 AS bx0, b.y0 AS by0, b.x0+b.s AS bx1, b.y0+b.s AS by1
+  FROM a, b),
+r AS (
+  SELECT a_key, b_key,
+         (ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1) AS closed_int,
+         (ax0 <  bx1 AND bx0 <  ax1 AND ay0 <  by1 AND by0 <  ay1) AS open_int,
+         (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1) AS a_covers_b,
+         (ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1) AS b_covers_a
+  FROM p)
+SELECT a_key, b_key,
+       closed_int AS p_intersects,
+       (closed_int AND NOT open_int) AS p_touches,
+       (open_int AND NOT a_covers_b AND NOT b_covers_a) AS p_overlaps,
+       a_covers_b AS p_covers,
+       a_covers_b AS p_contains
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# reprojection round-trip 27700 → 4326 → 27700
+# ---------------------------------------------------------------------------
+
+def q_reproject_roundtrip(spark, sf_dir) -> DataFrame:
+    """OSGB↔WGS84 round trip through the real transform kernels
+    (crs/osgb.py:196; semantics crs_test.clj:41-64): BNG-valid points
+    out and back, recovered to 2 dp (centimetre closure)."""
+    from .crs.osgb import transform_xy
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    src = c.select(
+        k.alias("c_custkey"),
+        (200000 + (k * 9973) % 300000).cast("double").alias("e"),
+        (200000 + (k * 7919) % 700000).cast("double").alias("n"),
+    )
+
+    @F.pandas_udf("e2 double, n2 double")
+    def rt(e: pd.Series, n: pd.Series) -> pd.DataFrame:
+        lon, lat = transform_xy(e.to_numpy(np.float64), n.to_numpy(np.float64), 27700, 4326)
+        e2, n2 = transform_xy(lon, lat, 4326, 27700)
+        return pd.DataFrame({"e2": np.round(e2, 2), "n2": np.round(n2, 2)})
+
+    return src.withColumn("__rt", rt("e", "n")).select(
+        "c_custkey", F.col("__rt.e2").alias("e2"), F.col("__rt.n2").alias("n2")
+    )
+
+
+Q_REPROJECT_SQL = """
+SELECT c_custkey,
+       ROUND((200000 + (c_custkey*9973)%300000)::DOUBLE, 2) AS e2,
+       ROUND((200000 + (c_custkey*7919)%700000)::DOUBLE, 2) AS n2
+FROM customer
+"""

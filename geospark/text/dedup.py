@@ -131,30 +131,52 @@ def jaccard_pairs(
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document (vectorized pandas UDF; token hashes
-    via two md5-derived 32-bit halves).  Non-SQL-expressible → the
-    driver records a rows-only check for this one."""
+    """64-bit SimHash per document.  Token hash = first 8 bytes of
+    md5(token) big-endian (portable: the DuckDB oracle reproduces it
+    as ('0x'||substr(md5(tok),1,16))::UBIGINT).  Vectorized: each
+    batch hashes its UNIQUE tokens once, then accumulates the ±1 bit
+    contributions with one scatter-add over the (doc, token) pairs."""
     import hashlib
+
+    BITS = np.arange(64, dtype=np.uint64)
 
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_hashes = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = set(t for t in (text or "").split(" ") if t)
-                acc = np.zeros(64, dtype=np.int64)
-                for t in toks:
-                    h = int.from_bytes(
-                        hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
-                    )
-                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    acc += np.where(bits.astype(bool), 1, -1)
-                sh = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        sh |= 1 << i
-                out_ids.append(did)
-                out_hashes.append(np.int64(np.uint64(sh).astype(np.int64)))
-            yield pd.DataFrame({id_col: out_ids, "simhash": out_hashes})
+            n = len(pdf)
+            vocab: dict = {}
+            flat_tok: List[int] = []
+            flat_doc: List[int] = []
+            for i, text in enumerate(pdf[text_col]):
+                for t in set((text or "").split(" ")):
+                    if not t:
+                        continue
+                    j = vocab.get(t)
+                    if j is None:
+                        j = vocab[t] = len(vocab)
+                    flat_tok.append(j)
+                    flat_doc.append(i)
+            if vocab:
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                        for t in vocab
+                    ),
+                    dtype=np.uint64,
+                    count=len(vocab),
+                )
+                # V×64 matrix of ±1 contributions, one row per unique token
+                contrib = (
+                    ((hs[:, None] >> BITS[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1
+                )
+                acc = np.zeros((n, 64), dtype=np.int64)
+                np.add.at(acc, np.asarray(flat_doc), contrib[np.asarray(flat_tok)])
+            else:
+                acc = np.zeros((n, 64), dtype=np.int64)
+            pos = acc > 0
+            sh = np.zeros(n, dtype=np.uint64)
+            for b in range(64):
+                sh |= pos[:, b].astype(np.uint64) << np.uint64(b)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sh.view(np.int64)})
 
     from pyspark.sql.types import StructField, StructType
 
@@ -165,3 +187,28 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         ]
     )
     return docs.select(id_col, text_col).mapInPandas(_sim, schema=schema)
+
+
+# DuckDB oracle for simhash64: same md5-derived 64-bit token hash, same
+# ±1 bit accumulation, signed-wrap reassembly (bit 63 contributes the
+# int64 minimum so SUM stays in BIGINT exactly like the uint64→int64
+# view on the Spark side).
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+th AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, range(0, 64) t(b)
+  GROUP BY doc_id, b)
+SELECT doc_id,
+       SUM(CASE WHEN acc > 0
+                THEN CASE WHEN b = 63 THEN -9223372036854775808
+                          ELSE (1::BIGINT << b::INTEGER) END
+                ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""

@@ -59,6 +59,23 @@ def test_overlapping():
     assert not P.overlaps(g(SQ1), small)
 
 
+def test_strip_overlap_same_extent_boxes():
+    # regression (found by the driver predicate oracle): same-x-extent
+    # boxes overlapping in a y-strip — every corner of the overlap
+    # region lies on both boundaries and neither centroid is inside the
+    # other, so the sampling heuristics all miss; the overlay fallback
+    # must classify this as overlaps, NOT touches
+    a = g("POLYGON ((19 11, 29 11, 29 21, 19 21, 19 11))")
+    b = g("POLYGON ((19 3, 29 3, 29 13, 19 13, 19 3))")
+    assert P.intersects(a, b)
+    assert P.overlaps(a, b) and P.overlaps(b, a)
+    assert not P.touches(a, b)
+    # shifted to share only the y=11/13→11 edge: touches, not overlaps
+    c = g("POLYGON ((19 1, 29 1, 29 11, 19 11, 19 1))")
+    assert P.touches(a, c)
+    assert not P.overlaps(a, c)
+
+
 def test_covered_by():
     # index_test.clj:84-93: query covers SQ1 and SQ2 but not the
     # triangle poking out to x=-1 (orientation: query covers entry)
