@@ -57,7 +57,9 @@ def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 64,
+    band_bits: int = 16,
+    multiprobe: int = 1,
     qid: str = "qid",
     cid: str = "cid",
     q_emb: str = "embedding",
@@ -65,45 +67,82 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane sign buckets (deterministic
-    planes from the seed), candidates = same bucket in ≥1 of 2 bands,
-    exact cosine re-rank within candidates."""
+    """Approximate top-k via random-hyperplane LSH, sized for scale:
+
+      64 planes → 4 bands of 16 bits (65,536 buckets per band), so a
+      random corpus pair collides in a band with p≈2^-16 — candidate
+      volume stays a small fraction of the cross join even at 100 TB.
+      Recall comes from band OR-ing plus 1-bit MULTI-PROBE on the
+      query side (each band also probes the 16 Hamming-1 buckets):
+      for near-dup similarity ~0.95 (per-bit agreement p≈0.9) a band
+      hits with p^16 + 16·p^15(1-p) ≈ 0.51 → 4 bands ≈ 0.94 recall,
+      at ~(1+16)·4/65536 ≈ 0.1% candidate fraction.
+
+    Candidates join on (band index, bucket) — a plain equi-join the
+    optimizer can shuffle-partition — then exact cosine re-ranks.
+    """
+    if n_planes % band_bits != 0:
+        raise ValueError("n_planes must be a multiple of band_bits")
+    n_bands = n_planes // band_bits
+    band_mask = (1 << band_bits) - 1
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
 
     @F.pandas_udf(LongType())
-    def bucket(emb: pd.Series) -> pd.Series:
+    def signature(emb: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
         signs = (m @ planes.T) > 0
-        out = np.zeros(len(m), dtype=np.int64)
+        out = np.zeros(len(m), dtype=np.uint64)
         for i in range(n_planes):
-            out |= signs[:, i].astype(np.int64) << i
-        return pd.Series(out)
+            out |= signs[:, i].astype(np.uint64) << np.uint64(i)
+        return pd.Series(out.view(np.int64))
 
-    half = n_planes // 2
-    lo_mask = (1 << half) - 1
+    def band_col(sig, b):
+        return F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(F.lit(band_mask))
 
-    q = queries.select(
-        F.col(qid).alias("__qid"),
-        F.transform(F.col(q_emb), lambda v: v.cast("double")).alias("__qe"),
-        bucket(F.col(q_emb)).alias("__bk"),
-    ).withColumn("__b_lo", F.col("__bk").bitwiseAND(F.lit(lo_mask))).withColumn(
-        "__b_hi", F.shiftright("__bk", half)
-    )
+    # corpus: one row per (band, bucket) — 4 rows per vector
     c = corpus.select(
         F.col(cid).alias("__cid"),
         F.transform(F.col(c_emb), lambda v: v.cast("double")).alias("__ce"),
-        bucket(F.col(c_emb)).alias("__bk"),
-    ).withColumn("__b_lo", F.col("__bk").bitwiseAND(F.lit(lo_mask))).withColumn(
-        "__b_hi", F.shiftright("__bk", half)
+        signature(F.col(c_emb)).alias("__sig"),
     )
-    cand_lo = q.select("__qid", "__qe", "__b_lo").join(
-        c.select("__cid", "__ce", "__b_lo"), "__b_lo"
-    ).select("__qid", "__qe", "__cid", "__ce")
-    cand_hi = q.select("__qid", "__qe", "__b_hi").join(
-        c.select("__cid", "__ce", "__b_hi"), "__b_hi"
-    ).select("__qid", "__qe", "__cid", "__ce")
-    cand = cand_lo.unionAll(cand_hi).dropDuplicates(["__qid", "__cid"])
+    c_bands = c.select(
+        "__cid",
+        "__ce",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("b"), band_col(F.col("__sig"), b).alias("v"))
+                for b in range(n_bands)
+            ])
+        ).alias("__bb"),
+    ).select("__cid", "__ce", F.col("__bb.b").alias("__b"), F.col("__bb.v").alias("__v"))
+
+    # queries: per band, the exact bucket plus `multiprobe`-bit flips
+    q = queries.select(
+        F.col(qid).alias("__qid"),
+        F.transform(F.col(q_emb), lambda v: v.cast("double")).alias("__qe"),
+        signature(F.col(q_emb)).alias("__sig"),
+    )
+    probe_structs = []
+    for b in range(n_bands):
+        base = band_col(F.col("__sig"), b)
+        keys = [base]
+        if multiprobe >= 1:
+            keys += [base.bitwiseXOR(F.lit(1 << j)) for j in range(band_bits)]
+        probe_structs += [
+            F.struct(F.lit(b).alias("b"), key.alias("v")) for key in keys
+        ]
+    q_bands = q.select(
+        "__qid",
+        "__qe",
+        F.explode(F.array(*probe_structs)).alias("__bb"),
+    ).select("__qid", "__qe", F.col("__bb.b").alias("__b"), F.col("__bb.v").alias("__v"))
+
+    cand = q_bands.join(c_bands, on=["__b", "__v"], how="inner").dropDuplicates(
+        ["__qid", "__cid"]
+    )
+    if k is None:  # candidates-only mode (selectivity measurement)
+        return cand.select(F.col("__qid").alias(qid), F.col("__cid").alias(cid))
     cand = cand.withColumn("sim", F.round(_cosine_col(F.col("__qe"), F.col("__ce")), 6))
     w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid").asc())
     return (

@@ -6,27 +6,55 @@ rect distance are kept, then re-sorted by true geometry distance.
 The docstring trap (bbox-nearest ≠ geom-nearest for n=1,
 index.clj:87-91) is preserved intentionally — we reproduce it.
 
-Distribution: pick the cell level so one k-ring(1) of cells covers
-the search disk (cell_size ≥ rng ⇒ the 3×3 neighborhood contains
-every envelope within rng of the query point's cell).  Query side
-explodes its 9 neighbor cells; build side keys each entry by the
-cells its envelope touches at that level; equi-join, dedupe, rank
-with a window.
+Queries may be points (qx/qy) or ANY geometry (query_geom WKB, the
+reference's HasGeometry query, index.clj:78): the query keys by its
+envelope expanded by `rng`, rect distance is envelope↔envelope, true
+distance is geometry↔geometry.
+
+Distribution: pick the cell level so cell_size ≥ rng; the probe side
+covers its rng-expanded envelope (for a point that is ⊆ the 3×3
+k-ring), the build side keys each entry by the cells its envelope
+touches; equi-join, dedupe, rank with a window.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
-from ..cells.cellid import DEFAULT_GRID, CellGrid, k_ring, pack, unpack
+from ..cells.cellid import DEFAULT_GRID, CellGrid
 from ..functions import st_envelope
 from ..geom import core as gc
-from ..geom.predicates import bbox_distance, distance
+from ..geom.predicates import distance
+
+
+def _env_cells_udf(grid: CellGrid, level: int):
+    """Cells touched by each bbox at `level` — vectorized index math,
+    one python list build per row (no per-row cover_bbox call)."""
+    n = 1 << level
+    inv = n / grid.span
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def env_cells(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        from ..cells.cellid import pack
+
+        ix0 = np.clip(np.floor((xmin.to_numpy(np.float64) - grid.x0) * inv), 0, n - 1).astype(np.int64)
+        ix1 = np.clip(np.floor((xmax.to_numpy(np.float64) - grid.x0) * inv), 0, n - 1).astype(np.int64)
+        iy0 = np.clip(np.floor((ymin.to_numpy(np.float64) - grid.y0) * inv), 0, n - 1).astype(np.int64)
+        iy1 = np.clip(np.floor((ymax.to_numpy(np.float64) - grid.y0) * inv), 0, n - 1).astype(np.int64)
+        out = []
+        for a, b, c, d in zip(ix0, ix1, iy0, iy1):
+            xs = np.arange(a, b + 1, dtype=np.int64)
+            ys = np.arange(c, d + 1, dtype=np.int64)
+            IX, IY = np.meshgrid(xs, ys, indexing="ij")
+            out.append(pack(IX.ravel(), IY.ravel(), level).tolist())
+        return pd.Series(out)
+
+    return env_cells
 
 
 def knn_join(
@@ -37,33 +65,63 @@ def knn_join(
     query_id: str = "qid",
     qx: str = "x",
     qy: str = "y",
+    query_geom: Optional[str] = None,
     build_id: str = "bid",
     build_geom: Optional[str] = None,
     bx: str = "x",
     by: str = "y",
     grid: CellGrid = DEFAULT_GRID,
 ) -> DataFrame:
-    """For each query point: up to n nearest build rows within rng.
+    """For each query (point or geometry): up to n nearest build rows
+    within rng.
 
-    Build side is points (bx/by) or geometries (build_geom WKB).
+    Build side is points (bx/by) or geometries (build_geom WKB);
+    query side is points (qx/qy) or geometries (query_geom WKB).
     Output: (qid, bid, rect_dist, dist, rank) — rank by true distance
     after the rect-distance top-n cut, per reference semantics.
     """
     level = grid.level_for_size(rng)
+    env_cells = _env_cells_udf(grid, level)
 
-    @F.pandas_udf(LongType())
-    def qcell(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(grid.encode_points(x.to_numpy(np.float64), y.to_numpy(np.float64), level))
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def ring1(c: pd.Series) -> pd.Series:
-        return c.map(lambda v: k_ring(int(v), 1).tolist())
-
-    q = query.select(
-        F.col(query_id).alias("__qid"),
-        F.col(qx).alias("__qx"),
-        F.col(qy).alias("__qy"),
-        F.explode(ring1(qcell(F.col(qx), F.col(qy)))).alias("__cell"),
+    if query_geom is not None:
+        qenv = query.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_geom).alias("__qwkb"),
+            st_envelope(F.col(query_geom)).alias("__env"),
+        ).select(
+            "__qid",
+            "__qwkb",
+            F.col("__env.xmin").alias("__qxmin"),
+            F.col("__env.ymin").alias("__qymin"),
+            F.col("__env.xmax").alias("__qxmax"),
+            F.col("__env.ymax").alias("__qymax"),
+        ).where(F.col("__qxmin").isNotNull())
+    else:
+        qenv = query.select(
+            F.col(query_id).alias("__qid"),
+            F.lit(None).cast("binary").alias("__qwkb"),
+            F.col(qx).alias("__qxmin"),
+            F.col(qy).alias("__qymin"),
+            F.col(qx).alias("__qxmax"),
+            F.col(qy).alias("__qymax"),
+        )
+    # probe cells: the rng-expanded query envelope (⊇ every build
+    # envelope within rect distance rng, since cell_size ≥ rng)
+    q = qenv.select(
+        "__qid",
+        "__qwkb",
+        "__qxmin",
+        "__qymin",
+        "__qxmax",
+        "__qymax",
+        F.explode(
+            env_cells(
+                F.col("__qxmin") - rng,
+                F.col("__qymin") - rng,
+                F.col("__qxmax") + rng,
+                F.col("__qymax") + rng,
+            )
+        ).alias("__cell"),
     )
 
     if build_geom is not None:
@@ -89,13 +147,6 @@ def knn_join(
             F.lit(None).cast("binary").alias("__bwkb"),
         )
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def env_cells(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
-        out = []
-        for a, b, c, d in zip(xmin, ymin, xmax, ymax):
-            out.append(grid.cover_bbox(a, b, c, d, level).tolist())
-        return pd.Series(out)
-
     b = env.select(
         "__bid",
         "__bwkb",
@@ -106,28 +157,24 @@ def knn_join(
         F.explode(env_cells("__xmin", "__ymin", "__xmax", "__ymax")).alias("__cell"),
     )
 
+    def _axis_gap(lo_a, hi_a, lo_b, hi_b):
+        return F.greatest(F.lit(0.0), F.greatest(lo_b - hi_a, lo_a - hi_b))
+
     cand = (
         q.join(b, on="__cell", how="inner")
         .dropDuplicates(["__qid", "__bid"])
         .withColumn(
-            "__rect_dist",
-            F.sqrt(
-                F.pow(
-                    F.greatest(
-                        F.lit(0.0),
-                        F.greatest(F.col("__xmin") - F.col("__qx"), F.col("__qx") - F.col("__xmax")),
-                    ),
-                    2,
-                )
-                + F.pow(
-                    F.greatest(
-                        F.lit(0.0),
-                        F.greatest(F.col("__ymin") - F.col("__qy"), F.col("__qy") - F.col("__ymax")),
-                    ),
-                    2,
-                )
-            ),
+            "__gx", _axis_gap(F.col("__qxmin"), F.col("__qxmax"), F.col("__xmin"), F.col("__xmax"))
         )
+        .withColumn(
+            "__gy", _axis_gap(F.col("__qymin"), F.col("__qymax"), F.col("__ymin"), F.col("__ymax"))
+        )
+        # g*g (not pow) keeps integer-coordinate distances bit-exact
+        .withColumn(
+            "__rect_dist",
+            F.sqrt(F.col("__gx") * F.col("__gx") + F.col("__gy") * F.col("__gy")),
+        )
+        .drop("__gx", "__gy")
         .where(F.col("__rect_dist") <= rng)
     )
 
@@ -137,17 +184,36 @@ def knn_join(
     cand = cand.withColumn("__rrank", F.row_number().over(w_rect)).where(F.col("__rrank") <= n)
 
     @F.pandas_udf(DoubleType())
-    def true_dist(qx_: pd.Series, qy_: pd.Series, wkb: pd.Series, rect: pd.Series) -> pd.Series:
+    def true_dist(
+        qwkb: pd.Series,
+        qx_: pd.Series,
+        qy_: pd.Series,
+        bwkb: pd.Series,
+        bx_: pd.Series,
+        by_: pd.Series,
+        rect: pd.Series,
+    ) -> pd.Series:
         out = []
-        for x, y, bwkb, rd in zip(qx_, qy_, wkb, rect):
-            if bwkb is None:
-                out.append(float(rd))  # point build side: rect == true
+        for qw, x0, y0, bw, x1, y1, rd in zip(qwkb, qx_, qy_, bwkb, bx_, by_, rect):
+            if qw is None and bw is None:
+                out.append(float(rd))  # point/point: rect == true
             else:
-                out.append(distance(gc.point(float(x), float(y)), gc.from_wkb(bwkb)))
+                ga = gc.from_wkb(qw) if qw is not None else gc.point(float(x0), float(y0))
+                gb = gc.from_wkb(bw) if bw is not None else gc.point(float(x1), float(y1))
+                out.append(distance(ga, gb))
         return pd.Series(out, dtype="float64")
 
     cand = cand.withColumn(
-        "__dist", true_dist(F.col("__qx"), F.col("__qy"), F.col("__bwkb"), F.col("__rect_dist"))
+        "__dist",
+        true_dist(
+            F.col("__qwkb"),
+            F.col("__qxmin"),
+            F.col("__qymin"),
+            F.col("__bwkb"),
+            F.col("__xmin"),
+            F.col("__ymin"),
+            F.col("__rect_dist"),
+        ),
     )
     w_true = Window.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__bid").asc())
     return (

@@ -161,6 +161,51 @@ QUALIFY rank <= 3
 """
 
 
+def q_knn_geom(spark, sf_dir) -> DataFrame:
+    """Geometry-valued kNN queries (reference `neighbours` accepts any
+    HasGeometry, index.clj:78-104): nation boxes query the customer
+    point set.  Box↔point distance is sqrt of an integer, so both
+    engines produce the identical IEEE double."""
+    from .ops.knn import knn_join
+
+    polys = nation_boxes(spark, sf_dir).where(F.col("poly_id") < 5)
+    pts = customer_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("bid"), "x", "y"
+    )
+    out = knn_join(
+        polys.select(F.col("poly_id").alias("qid"), "geom"),
+        pts,
+        n=3,
+        rng=3000.0,
+        query_id="qid",
+        query_geom="geom",
+        build_id="bid",
+    )
+    return out.select(
+        "qid", "bid", F.round(F.col("dist"), 4).alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+Q_KNN_GEOM_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL}),
+boxes AS (
+  SELECT n_nationkey AS qid,
+         ((n_nationkey*773)%18000)::DOUBLE  AS x0,
+         ((n_nationkey*1571)%18000)::DOUBLE AS y0
+  FROM nation WHERE n_nationkey < 5),
+d AS (
+  SELECT b.qid, p.c_custkey AS bid,
+         sqrt(GREATEST(0, b.x0 - p.x, p.x - (b.x0+2500)) * GREATEST(0, b.x0 - p.x, p.x - (b.x0+2500))
+            + GREATEST(0, b.y0 - p.y, p.y - (b.y0+2500)) * GREATEST(0, b.y0 - p.y, p.y - (b.y0+2500))) AS dist
+  FROM boxes b, pts p)
+SELECT qid, bid, ROUND(dist, 4) AS dist,
+       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS rank
+FROM d WHERE dist <= 3000
+QUALIFY rank <= 3
+"""
+
+
 def q_grid(spark, sf_dir) -> DataFrame:
     """make-grid as a pure Catalyst plan (no UDF, no shuffle)."""
     from .ops.tiling import make_grid_df
@@ -263,6 +308,21 @@ def q_simhash(spark, sf_dir) -> DataFrame:
     from .text.dedup import simhash64
 
     return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_dups(spark, sf_dir) -> DataFrame:
+    """SimHash Hamming near-dup pairs through the banded bucket join
+    (lossless by pigeonhole at n_bands = max_hamming+1); oracle is the
+    quadratic reference join over the same fingerprints."""
+    from .text.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_dups_sql() -> str:
+    from .text.dedup import simhash_near_dups_sql
+
+    return simhash_near_dups_sql(max_hamming=3)
 
 
 def q_ann_cosine(spark, sf_dir) -> DataFrame:
@@ -623,11 +683,13 @@ def registry() -> Dict[str, Callable]:
         "pip_join": q_pip_join,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
+        "knn_geom": q_knn_geom,
         "grid": q_grid,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "text_quality": q_text_quality,
@@ -660,6 +722,7 @@ def oracles() -> Dict[str, str]:
         "pip_join": Q_PIP_JOIN_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,
         "knn": Q_KNN_SQL,
+        "knn_geom": Q_KNN_GEOM_SQL,
         "grid": Q_GRID_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "jaccard_pairs": Q_JACCARD_SQL,
@@ -673,6 +736,7 @@ def oracles() -> Dict[str, str]:
         "box_join": Q_BOX_JOIN_SQL,
         "gpkg_roundtrip": Q_GPKG_ROUNDTRIP_SQL,
         "simhash": _simhash_sql(),
+        "simhash_dups": _simhash_dups_sql(),
         "dissolve_region": Q_DISSOLVE_SQL,
         "buffer_area": Q_BUFFER_SQL,
         # ann_lsh: approximate → rows-only + recall test in pytest

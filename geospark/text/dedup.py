@@ -104,18 +104,53 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.4,
+    max_df: int = None,
+    candidates: DataFrame = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard ≥ threshold pairs (id_a < id_b, jacc
-    rounded to 6dp).  The shingle-join form: pairs sharing ≥1 token."""
+    """Token-set Jaccard ≥ threshold pairs (id_a < id_b, jacc 6dp).
+
+    The default (exact) form is the shingle self-join: pairs sharing
+    ≥1 token.  That generates Σ df(tok)² candidates — a stopword joins
+    nearly all documents pairwise, which is quadratic at 100 TB.  Two
+    scale guards (use at least one beyond oracle scale):
+
+    max_df: drop tokens whose document frequency exceeds the cap from
+      BOTH the join and the similarity (prefix-filter semantics: ultra-
+      common tokens carry no near-dup signal; candidate volume becomes
+      Σ_{df≤cap} df² ≤ cap · Σ df).
+    candidates: a (id_a, id_b) DataFrame (e.g. minhash_lsh_pairs
+      output) — exact Jaccard is then computed only for those pairs
+      via two token joins (the verification half of the MinHash+LSH
+      pipeline; volume = |candidates| · avg tokens).
+    """
     toks = tokens_df(docs, id_col, text_col)
+    if max_df is not None:
+        keep = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("tok")
+        )
+        toks = toks.join(keep, "tok")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    l = toks.alias("l")
-    r = toks.alias("r")
-    common = (
-        l.join(r, (F.col("l.tok") == F.col("r.tok")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if candidates is not None:
+        ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+        tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+        common = (
+            candidates.select("id_a", "id_b")
+            .join(ta, "id_a")
+            .join(tb, ["id_b", "tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        l = toks.alias("l")
+        r = toks.alias("r")
+        common = (
+            l.join(r, (F.col("l.tok") == F.col("r.tok")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     return (
         common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -187,6 +222,81 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         ]
     )
     return docs.select(id_col, text_col).mapInPandas(_sim, schema=schema)
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a, id_b, hamming ≤ max_hamming).
+
+    Bit-band LSH over the 64-bit fingerprint (Manku et al., WWW'07):
+    with n_bands = max_hamming+1 bands, any pair within max_hamming
+    MUST agree on at least one whole band (pigeonhole), so the banded
+    bucket equi-join is a lossless candidate generator — no all-pairs
+    scan — and the bit_count(XOR) refine is exact.  At 100 TB this is
+    a plain 4-way band shuffle join; candidates per bucket scale with
+    the near-dup cluster sizes, not the corpus."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash64(docs, id_col, text_col)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftrightunsigned("simhash", b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("v"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("__bb"),
+    ).select(id_col, "simhash", F.col("__bb.b").alias("__b"), F.col("__bb.v").alias("__v"))
+    l = bands.alias("l")
+    r = bands.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.__b") == F.col("r.__b"))
+            & (F.col("l.__v") == F.col("r.__v"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("__sa"),
+            F.col("r.simhash").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# DuckDB oracle for simhash_near_dups: same fingerprints, quadratic
+# reference join (exact at oracle scale; the Spark side must produce
+# the identical pair set through the banded join).
+def simhash_near_dups_sql(max_hamming: int = 3) -> str:
+    return f"""
+WITH sh AS ({SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 # DuckDB oracle for simhash64: same md5-derived 64-bit token hash, same

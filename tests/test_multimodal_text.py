@@ -71,21 +71,81 @@ def test_simhash_similarity(spark):
     assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
 
 
-def test_lsh_recall_vs_brute_force(spark):
+def test_jaccard_scale_guards(spark):
+    """max_df drops stopword-driven candidates; candidates= mode
+    (MinHash verification) matches the exact pipeline on its pairs."""
+    from geospark.text.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # 30 near-dup pairs: 10 shared rare tokens + the stopword everywhere
+    for i in range(30):
+        rare = " ".join(f"tok{i}_{j}" for j in range(10))
+        rows.append((2 * i, f"the {rare}"))
+        rows.append((2 * i + 1, f"the {rare} extra{i}"))
+    # 100 unrelated docs that share ONLY the stopword
+    for i in range(100):
+        rows.append((1000 + i, f"the uniq{i}_a uniq{i}_b uniq{i}_c"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    exact = jaccard_pairs(docs, threshold=0.6).toPandas()
+    capped = jaccard_pairs(docs, threshold=0.6, max_df=50).toPandas()
+    # the 30 planted pairs survive in both modes; stopword-only pairs never qualify
+    want = {(2 * i, 2 * i + 1) for i in range(30)}
+    assert set(zip(exact["id_a"], exact["id_b"])) == want
+    assert set(zip(capped["id_a"], capped["id_b"])) == want
+
+    cands = minhash_lsh_pairs(docs)
+    verified = jaccard_pairs(docs, threshold=0.6, candidates=cands).toPandas()
+    ver_pairs = set(zip(verified["id_a"], verified["id_b"]))
+    assert ver_pairs == want
+    # exact jaccard values agree between the self-join and candidate paths
+    ex = exact.set_index(["id_a", "id_b"])["jaccard"]
+    vr = verified.set_index(["id_a", "id_b"])["jaccard"]
+    assert (ex.sort_index() == vr.sort_index()).all()
+
+
+def test_lsh_recall_and_selectivity(spark):
+    """Near-dup ANN eval: corpus with 5 planted near-duplicates per
+    query (cosine ≈ 0.99).  The 64-plane / 16-bit-band / multi-probe
+    LSH must recover ≥0.9 of the brute-force top-5 while generating
+    <5% of the cross-join as candidates (the 100 TB selectivity bar)."""
     from geospark.ml.ann import brute_force_topk, lsh_topk
 
     rng = np.random.RandomState(5)
-    n, dim = 300, 16
-    base = rng.normal(size=(n, dim)).astype(np.float32)
-    emb = pd.DataFrame({"vec_id": np.arange(n), "embedding": [list(map(float, v)) for v in base]})
+    n_base, n_q, dim = 20_000, 20, 64
+    base = rng.normal(size=(n_base, dim))
+    qvecs = base[:n_q]
+    planted = np.concatenate(
+        [qvecs + rng.normal(scale=0.15, size=(n_q, dim)) for _ in range(5)]
+    )
+    corpus = np.vstack([base, planted])
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(corpus)),
+            "embedding": [list(map(float, v)) for v in corpus],
+        }
+    )
     e = spark.createDataFrame(emb)
-    q = e.where("vec_id < 10").selectExpr("vec_id as qid", "embedding")
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": np.arange(n_q),
+                "embedding": [list(map(float, v)) for v in qvecs],
+            }
+        )
+    )
     c = e.selectExpr("vec_id as cid", "embedding")
-    bf = brute_force_topk(q, c, k=5, qid="qid", cid="cid").toPandas()
-    ls = lsh_topk(q, c, k=5, qid="qid", cid="cid", dim=dim).toPandas()
+    # queries are corpus members (vec_id<n_q): drop self from both sides
+    bf = brute_force_topk(qdf, c, k=6, qid="qid", cid="cid").toPandas()
+    bf = bf[bf["qid"] != bf["cid"]].groupby("qid").head(5)
+    ls = lsh_topk(qdf, c, k=6, qid="qid", cid="cid", dim=dim).toPandas()
+    ls = ls[ls["qid"] != ls["cid"]].groupby("qid").head(5)
     bf_set = set(zip(bf["qid"], bf["cid"]))
     ls_set = set(zip(ls["qid"], ls["cid"]))
     recall = len(bf_set & ls_set) / len(bf_set)
-    assert recall >= 0.4, recall  # buckets prune; self-match always survives
-    # rank-1 self matches always found
-    assert set(ls[ls["rank"] == 1]["cid"]) >= set(range(10))
+    assert recall >= 0.9, recall
+    # selectivity: candidate fraction of the full cross join
+    n_cand = lsh_topk(qdf, c, k=None, qid="qid", cid="cid", dim=dim).count()
+    frac = n_cand / (n_q * len(corpus))
+    assert frac < 0.05, frac

@@ -124,6 +124,40 @@ def test_knn_reference_fixtures(spark, squares_df):
     assert list(r["bid"]) == [0]
 
 
+def test_knn_geometry_query(spark, squares_df):
+    # geometry-valued queries (index.clj:78: any HasGeometry): a polygon
+    # query against geometry build side, plus against a point build side
+    from geospark.ops.knn import knn_join
+
+    qpoly = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": [0], "geom": [C.to_wkb(C.from_wkt("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"))]}
+        )
+    )
+    r = (
+        knn_join(qpoly, squares_df, n=10, rng=100.0, query_geom="geom", build_geom="geom")
+        .orderBy("rank")
+        .toPandas()
+    )
+    # overlapping SQ1 at dist 0, SQ2 at true dist √32 (corner 10,10 to 6,6)
+    assert list(r["bid"]) == [0, 1]
+    assert r["dist"].iloc[0] == 0.0
+    assert abs(r["dist"].iloc[1] - np.sqrt(32)) < 1e-9
+
+    # polygon query over a point build side
+    pts = spark.createDataFrame(
+        pd.DataFrame({"bid": [7, 8, 9], "x": [5.0, 13.0, 300.0], "y": [5.0, 6.0, 300.0]})
+    )
+    r = (
+        knn_join(qpoly, pts, n=2, rng=50.0, query_geom="geom")
+        .orderBy("rank")
+        .toPandas()
+    )
+    # (5,5) inside → 0; (13,6) → 7 from edge x=6
+    assert list(r["bid"]) == [7, 8]
+    assert r["dist"].iloc[0] == 0.0 and abs(r["dist"].iloc[1] - 7.0) < 1e-9
+
+
 def test_knn_points_bruteforce(spark):
     from geospark.ops.knn import knn_join
 
