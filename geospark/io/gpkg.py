@@ -78,7 +78,11 @@ def _bootstrap(con: sqlite3.Connection):
              table_name TEXT NOT NULL, column_name TEXT NOT NULL,
              geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
              z TINYINT NOT NULL, m TINYINT NOT NULL,
-             CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"""
+             CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name),
+             CONSTRAINT fk_gc_tn FOREIGN KEY (table_name)
+               REFERENCES gpkg_contents(table_name),
+             CONSTRAINT fk_gc_srs FOREIGN KEY (srs_id)
+               REFERENCES gpkg_spatial_ref_sys(srs_id))"""
     )
     for srs_id, name, org_id, definition in [
         (-1, "undefined cartesian", -1, "undefined"),
@@ -272,7 +276,9 @@ def write_gpkg(
                 cols_ddl.append(f'"{f.name}" {t}')
             ddl = f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY AUTOINCREMENT'
             if spatial:
-                ddl += f', "{geom_col}" BLOB'
+                # declared SQL type = geometry_type_name (spec Req 31;
+                # SQLite stores it as BLOB affinity regardless)
+                ddl += f', "{geom_col}" GEOMETRY'
             if cols_ddl:
                 ddl += ", " + ", ".join(cols_ddl)
             ddl += ")"
