@@ -238,21 +238,30 @@ def _seg_pairs_intersect(a1, a2, b1, b2, proper_only) -> bool:
     touch = ok & ((d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0))
     if not touch.any():
         return False
-    # confirm collinear/endpoint touches with exact on-segment tests
+    # confirm collinear/endpoint touches with exact on-segment tests —
+    # vectorized over ALL candidates (a truncation here silently missed
+    # real touches past the cap on large geometries)
     ii, jj = np.nonzero(touch)
-    for i, j in zip(ii[:4096], jj[:4096]):
-        A1 = (float(ax1[i, 0]), float(ay1[i, 0]))
-        A2 = (float(ax2[i, 0]), float(ay2[i, 0]))
-        B1 = (float(bx1[0, j]), float(by1[0, j]))
-        B2 = (float(bx2[0, j]), float(by2[0, j]))
-        if (
-            _on_seg(*A1, *A2, *B1)
-            or _on_seg(*A1, *A2, *B2)
-            or _on_seg(*B1, *B2, *A1)
-            or _on_seg(*B1, *B2, *A2)
-        ):
-            return True
-    return False
+    sax1, say1 = ax1[ii, 0], ay1[ii, 0]
+    sax2, say2 = ax2[ii, 0], ay2[ii, 0]
+    sbx1, sby1 = bx1[0, jj], by1[0, jj]
+    sbx2, sby2 = bx2[0, jj], by2[0, jj]
+
+    def on_seg(sx, sy, ex, ey, px, py):
+        cross = (ex - sx) * (py - sy) - (ey - sy) * (px - sx)
+        return (
+            (cross == 0)
+            & (np.minimum(sx, ex) <= px) & (px <= np.maximum(sx, ex))
+            & (np.minimum(sy, ey) <= py) & (py <= np.maximum(sy, ey))
+        )
+
+    hit = (
+        on_seg(sax1, say1, sax2, say2, sbx1, sby1)
+        | on_seg(sax1, say1, sax2, say2, sbx2, sby2)
+        | on_seg(sbx1, sby1, sbx2, sby2, sax1, say1)
+        | on_seg(sbx1, sby1, sbx2, sby2, sax2, say2)
+    )
+    return bool(hit.any())
 
 
 def has_proper_crossing(a: Geometry, b: Geometry) -> bool:
