@@ -53,6 +53,41 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    cid: str = "vec_id",
+    emb: str = "embedding",
+    candidates: DataFrame = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim ≥ t).
+
+    The default form is the exact self-join (the oracle-scale
+    reference); at 100 TB pass `candidates` — an (id_a, id_b) frame,
+    e.g. `lsh_topk(corpus, corpus, k=None, ...)` — and only those
+    pairs are scored (the LSH-candidates verification pattern shared
+    with jaccard_pairs)."""
+    c = corpus.select(
+        F.col(cid).alias("__id"),
+        F.transform(F.col(emb), lambda v: v.cast("double")).alias("__e"),
+    )
+    if candidates is not None:
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(c.select(F.col("__id").alias("id_a"), F.col("__e").alias("__ea")), "id_a")
+            .join(c.select(F.col("__id").alias("id_b"), F.col("__e").alias("__eb")), "id_b")
+        )
+    else:
+        a = c.select(F.col("__id").alias("id_a"), F.col("__e").alias("__ea"))
+        b = c.select(F.col("__id").alias("id_b"), F.col("__e").alias("__eb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("sim", F.round(_cosine_col(F.col("__ea"), F.col("__eb")), 6))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

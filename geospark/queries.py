@@ -363,6 +363,48 @@ def q_ann_lsh(spark, sf_dir) -> DataFrame:
     return out.select("qid", "cid", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+def q_cosine_dups(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup pairs on a corpus with 100 planted
+    near-duplicates (aug vector = e_v + 0.1·e_{v+1}, cosine ≈ 0.995 —
+    the natural max pairwise cosine in the table is ~0.51, so the
+    planted pairs are exactly the ≥0.98 set).  Exact self-join form;
+    the LSH-candidates mode is the 100 TB path (tested in pytest)."""
+    from .ml.ann import cosine_near_dups
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("embedding")
+    )
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    aug = (
+        a.where(F.col("va") < 100)
+        .join(b, F.col("vb") == F.col("va") + 1)
+        .select(
+            (F.col("va") + 100000).alias("vec_id"),
+            F.zip_with("ea", "eb", lambda x, y: x + y * 0.1).alias("embedding"),
+        )
+    )
+    return cosine_near_dups(e.unionByName(aug), threshold=0.98)
+
+
+Q_COSINE_DUPS_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+aug AS (
+  SELECT a.vec_id + 100000 AS vec_id,
+         list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] + b.emb[i] * 0.1) AS emb
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < 100),
+c AS (SELECT * FROM e UNION ALL SELECT * FROM aug),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+               6) AS sim
+  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.98
+"""
+
+
 def q_text_quality(spark, sf_dir) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     text = F.col("text")
@@ -692,6 +734,7 @@ def registry() -> Dict[str, Callable]:
         "simhash_dups": q_simhash_dups,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "cosine_dups": q_cosine_dups,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
@@ -728,6 +771,7 @@ def oracles() -> Dict[str, str]:
         "jaccard_pairs": Q_JACCARD_SQL,
         "minhash_pairs": _minhash_sql(),
         "ann_cosine": Q_ANN_SQL,
+        "cosine_dups": Q_COSINE_DUPS_SQL,
         "text_quality": Q_TEXT_QUALITY_SQL,
         "lang_id": _langid_sql(),
         "events_hourly": Q_EVENTS_SQL,

@@ -92,6 +92,105 @@ class SnapshotCatalog:
         return spark.read.parquet(os.path.join(self.root, "_lineage"))
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergCatalog:
+    """Same catalog interface over real Iceberg tables (used when the
+    runtime jar is present — a cluster deployment; the sandbox has no
+    jar, so this path is exercised only by interface tests there).
+
+    Requires a configured Spark catalog, e.g.:
+      spark.sql.catalog.geospark = org.apache.iceberg.spark.SparkCatalog
+      spark.sql.catalog.geospark.type = hadoop
+      spark.sql.catalog.geospark.warehouse = <root>
+    Snapshot ids come from Iceberg's own metadata tables; `write` is an
+    atomic replace commit; `merge_amend` is the cluster-scale analogue
+    of gpkg amend (gpkg.clj:1148-1374) via MERGE INTO.
+    """
+
+    def __init__(self, spark: SparkSession, catalog_name: str = "geospark",
+                 namespace: str = "pipeline"):
+        self.spark = spark
+        self.cat = catalog_name
+        self.ns = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.cat}.{self.ns}")
+
+    def _fq(self, table: str) -> str:
+        return f"{self.cat}.{self.ns}.{table}"
+
+    def snapshots(self, table: str) -> List[dict]:
+        try:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id, committed_at FROM {self._fq(table)}.snapshots "
+                "ORDER BY committed_at"
+            ).collect()
+        except Exception:
+            return []
+        return [
+            {"snapshot_id": str(r["snapshot_id"]), "table": table,
+             "created_ms": int(r["committed_at"].timestamp() * 1000), "meta": {}}
+            for r in rows
+        ]
+
+    def latest(self, table: str) -> Optional[dict]:
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    def write(self, df: DataFrame, table: str, meta: Optional[dict] = None) -> dict:
+        df.writeTo(self._fq(table)).using("iceberg").createOrReplace()
+        m = self.latest(table)
+        m = dict(m or {})
+        m["rows"] = self.spark.table(self._fq(table)).count()
+        m["meta"] = meta or {}
+        return m
+
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: Optional[str] = None) -> DataFrame:
+        if snapshot_id is None:
+            return spark.table(self._fq(table))
+        return spark.read.option("snapshot-id", snapshot_id).table(self._fq(table))
+
+    def merge_amend(self, df: DataFrame, table: str, key: str, set_cols: List[str]):
+        """MERGE INTO join-update (cluster-scale amend semantics)."""
+        df.createOrReplaceTempView("__amend_src")
+        sets = ", ".join(f"t.{c} = s.{c}" for c in set_cols)
+        cols = ", ".join([key] + set_cols)
+        vals = ", ".join(f"s.{c}" for c in [key] + set_cols)
+        self.spark.sql(
+            f"MERGE INTO {self._fq(table)} t USING __amend_src s ON t.{key} = s.{key} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+
+    def append_lineage(self, spark: SparkSession, rows: List[dict]):
+        import pandas as pd
+
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        df.writeTo(self._fq("_lineage")).using("iceberg").createOrReplace() \
+            if self.latest("_lineage") is None else df.writeTo(self._fq("_lineage")).append()
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self._fq("_lineage"))
+
+
+def catalog_for(spark: SparkSession, root: str, prefer_iceberg: bool = True):
+    """Engine-native storage selection (SURVEY §7.1): real Iceberg when
+    the runtime jar + a configured catalog exist, else the parquet +
+    atomic-manifest fallback with the same commit semantics."""
+    if prefer_iceberg and iceberg_available(spark):
+        cat = spark.conf.get("spark.sql.catalog.geospark", None)
+        if cat is not None:
+            return IcebergCatalog(spark)
+    return SnapshotCatalog(root)
+
+
 @dataclass
 class Stage:
     name: str

@@ -105,6 +105,43 @@ def test_jaccard_scale_guards(spark):
     assert (ex.sort_index() == vr.sort_index()).all()
 
 
+def test_cosine_near_dups_lsh_candidates_mode(spark):
+    """The LSH-candidates scale path of cosine_near_dups recovers the
+    planted near-dup pairs the exact self-join finds."""
+    from geospark.ml.ann import cosine_near_dups, lsh_topk
+
+    rng = np.random.RandomState(3)
+    n, dim = 2000, 64
+    base = rng.normal(size=(n, dim))
+    planted = base[:50] + rng.normal(scale=0.05, size=(50, dim))
+    corpus = np.vstack([base, planted])
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(corpus)),
+                "embedding": [list(map(float, v)) for v in corpus],
+            }
+        )
+    )
+    exact = cosine_near_dups(e, threshold=0.97).toPandas()
+    want = set(zip(exact["id_a"], exact["id_b"]))
+    assert {(i, n + i) for i in range(50)} <= want
+
+    q = e.selectExpr("vec_id as qid", "embedding")
+    c = e.selectExpr("vec_id as cid", "embedding")
+    cands = (
+        lsh_topk(q, c, k=None, qid="qid", cid="cid", dim=dim)
+        .where("qid < cid")
+        .selectExpr("qid as id_a", "cid as id_b")
+    )
+    via_lsh = cosine_near_dups(e, threshold=0.97, candidates=cands).toPandas()
+    got = set(zip(via_lsh["id_a"], via_lsh["id_b"]))
+    # near-dup recall through the bucketed path
+    assert len(got & want) / len(want) >= 0.9
+    # every LSH-path pair is a true pair with the identical sim
+    assert got <= want
+
+
 def test_lsh_recall_and_selectivity(spark):
     """Near-dup ANN eval: corpus with 5 planted near-duplicates per
     query (cosine ≈ 0.99).  The 64-plane / 16-bit-band / multi-probe

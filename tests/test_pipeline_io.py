@@ -90,3 +90,13 @@ def test_geojson_reader(tmp_path):
     # garbage rejected
     with pytest.raises(ValueError):
         read_geojson('{"type": "Nope"}')
+
+
+def test_catalog_selection_falls_back_without_iceberg(spark, tmp_path):
+    # this sandbox has no Iceberg runtime jar: detection must return
+    # False and catalog_for must hand back the parquet+manifest catalog
+    from geospark.run.pipeline import SnapshotCatalog, catalog_for, iceberg_available
+
+    assert iceberg_available(spark) is False
+    cat = catalog_for(spark, str(tmp_path / "cat"))
+    assert isinstance(cat, SnapshotCatalog)
