@@ -37,7 +37,11 @@ def main(sf_dir="/root/testdata/sf0.01"):
         flag.explain("formatted")
     out.append("## flagship geocode_pip_tile_jvm\n```\n" + buf.getvalue() + "```\n")
 
-    for name in ["pip_join", "knn", "tile_assign", "grid", "dedup_exact", "events_hourly"]:
+    for name in [
+        "pip_join", "knn", "knn_geom", "tile_assign", "grid", "dedup_exact",
+        "events_hourly", "minhash_pairs", "simhash_dups", "ann_lsh",
+        "cosine_dups", "overlay_areas",
+    ]:
         df = registry()[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
