@@ -53,6 +53,91 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 10_000,
+    qid: str = "qid",
+    cid: str = "cid",
+    q_emb: str = "embedding",
+    c_emb: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path:
+
+      train: Lloyd's k-means on a BOUNDED corpus sample (driver-side,
+        ≤ train_sample vectors — size-gated by construction), on
+        L2-normalized vectors so euclidean argmin == cosine argmax.
+      assign: one corpus pass tags each vector with its nearest
+        centroid (broadcast centers, vectorized matmul per batch).
+      probe: each query explodes its `nprobe` nearest centroid ids;
+        a plain equi-join on centroid id prunes the candidate set to
+        ~nprobe/n_centroids of the corpus; exact cosine re-ranks.
+
+    Every corpus vector lives in exactly one list, so the probe join
+    needs no dedupe.  Deterministic for a fixed seed."""
+    rng = np.random.RandomState(seed)
+
+    sample = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in corpus.select(c_emb).limit(train_sample).collect()
+    ]
+    S = np.stack(sample)
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    n_c = min(n_centroids, len(S))
+    centers = S[rng.choice(len(S), size=n_c, replace=False)]
+    for _ in range(10):  # Lloyd's on the sample
+        assign = np.argmax(S @ centers.T, axis=1)
+        for j in range(n_c):
+            members = S[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                centers[j] = m / max(np.linalg.norm(m), 1e-12)
+    bc = corpus.sparkSession.sparkContext.broadcast(centers)
+
+    @F.pandas_udf(LongType())
+    def nearest_center(emb: pd.Series) -> pd.Series:
+        C = bc.value
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ C.T, axis=1).astype(np.int64))
+
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_centers(emb: pd.Series) -> pd.Series:
+        C = bc.value
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ C.T
+        top = np.argsort(-sims, axis=1)[:, : min(nprobe, C.shape[0])]
+        return pd.Series([row.astype(np.int64).tolist() for row in top])
+
+    c = corpus.select(
+        F.col(cid).alias("__cid"),
+        F.transform(F.col(c_emb), lambda v: v.cast("double")).alias("__ce"),
+        nearest_center(F.col(c_emb)).alias("__ctr"),
+    )
+    q = queries.select(
+        F.col(qid).alias("__qid"),
+        F.transform(F.col(q_emb), lambda v: v.cast("double")).alias("__qe"),
+        F.explode(probe_centers(F.col(q_emb))).alias("__ctr"),
+    )
+    cand = q.join(c, on="__ctr", how="inner").withColumn(
+        "sim", F.round(_cosine_col(F.col("__qe"), F.col("__ce")), 6)
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("__qid").alias(qid), F.col("__cid").alias(cid), "sim", "rank")
+    )
+
+
 def cosine_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -363,6 +363,18 @@ def q_ann_lsh(spark, sf_dir) -> DataFrame:
     return out.select("qid", "cid", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF coarse-quantizer ANN (approximate → rows-only driver check;
+    recall vs brute force asserted in tests)."""
+    from .ml.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    c = e.select(F.col("vec_id").alias("cid"), "embedding")
+    out = ivf_topk(q, c, k=5, n_centroids=16, nprobe=4, qid="qid", cid="cid")
+    return out.select("qid", "cid", "sim", F.col("rank").cast("long").alias("rank"))
+
+
 def q_cosine_dups(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup pairs on a corpus with 100 planted
     near-duplicates (aug vector = e_v + 0.1·e_{v+1}, cosine ≈ 0.995 —
@@ -734,6 +746,7 @@ def registry() -> Dict[str, Callable]:
         "simhash_dups": q_simhash_dups,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "cosine_dups": q_cosine_dups,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

@@ -105,6 +105,42 @@ def test_jaccard_scale_guards(spark):
     assert (ex.sort_index() == vr.sort_index()).all()
 
 
+def test_ivf_recall_and_selectivity(spark):
+    """IVF coarse quantizer: ≥0.9 recall of brute-force top-5 on a
+    planted-near-dup corpus while probing nprobe/n_centroids of the
+    lists."""
+    from geospark.ml.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(9)
+    n_base, n_q, dim = 10_000, 20, 64
+    base = rng.normal(size=(n_base, dim))
+    qvecs = base[:n_q]
+    planted = np.concatenate(
+        [qvecs + rng.normal(scale=0.15, size=(n_q, dim)) for _ in range(5)]
+    )
+    corpus = np.vstack([base, planted])
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(len(corpus)),
+             "embedding": [list(map(float, v)) for v in corpus]}
+        )
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": np.arange(n_q), "embedding": [list(map(float, v)) for v in qvecs]}
+        )
+    )
+    c = e.selectExpr("vec_id as cid", "embedding")
+    bf = brute_force_topk(qdf, c, k=6, qid="qid", cid="cid").toPandas()
+    bf = bf[bf["qid"] != bf["cid"]].groupby("qid").head(5)
+    iv = ivf_topk(qdf, c, k=6, n_centroids=64, nprobe=8, qid="qid", cid="cid", dim=dim).toPandas()
+    iv = iv[iv["qid"] != iv["cid"]].groupby("qid").head(5)
+    bf_set = set(zip(bf["qid"], bf["cid"]))
+    iv_set = set(zip(iv["qid"], iv["cid"]))
+    recall = len(bf_set & iv_set) / len(bf_set)
+    assert recall >= 0.9, recall
+
+
 def test_cosine_near_dups_lsh_candidates_mode(spark):
     """The LSH-candidates scale path of cosine_near_dups recovers the
     planted near-dup pairs the exact self-join finds."""
