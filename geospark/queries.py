@@ -525,6 +525,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessions(spark, sf_dir) -> DataFrame:
+    """Sessionization (30-min gap) through the batch twin of the
+    applyInPandasWithState streaming operator (streaming/sessions.py;
+    batch/stream parity asserted in tests).  event_id breaks timestamp
+    ties so the window ordering is deterministic cross-engine."""
+    from .streaming.sessions import sessionize_batch
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize_batch(e, gap_seconds=1800, tiebreaker="event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return s.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+Q_SESSIONS_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_extent_agg(spark, sf_dir) -> DataFrame:
     """Layer-extent accumulation (the write-side envelope fold,
     gpkg.clj:903-912) as a grouped min/max."""
@@ -722,6 +762,7 @@ FROM nation
 def registry() -> Dict[str, Callable]:
     from .queries_geom import (
         q_cut_line,
+        q_node_grid,
         q_overlay_areas,
         q_polygonize,
         q_predicates_box,
@@ -732,8 +773,10 @@ def registry() -> Dict[str, Callable]:
         "overlay_areas": q_overlay_areas,
         "cut_line": q_cut_line,
         "polygonize": q_polygonize,
+        "node_grid": q_node_grid,
         "predicates_box": q_predicates_box,
         "reproject_roundtrip": q_reproject_roundtrip,
+        "sessions": q_sessions,
         "pip_join": q_pip_join,
         "tile_assign": q_tile_assign,
         "knn": q_knn,
@@ -763,6 +806,7 @@ def registry() -> Dict[str, Callable]:
 def oracles() -> Dict[str, str]:
     from .queries_geom import (
         Q_CUT_LINE_SQL,
+        Q_NODE_GRID_SQL,
         Q_OVERLAY_SQL,
         Q_POLYGONIZE_SQL,
         Q_PREDICATES_SQL,
@@ -773,8 +817,10 @@ def oracles() -> Dict[str, str]:
         "overlay_areas": Q_OVERLAY_SQL,
         "cut_line": Q_CUT_LINE_SQL,
         "polygonize": Q_POLYGONIZE_SQL,
+        "node_grid": Q_NODE_GRID_SQL,
         "predicates_box": Q_PREDICATES_SQL,
         "reproject_roundtrip": Q_REPROJECT_SQL,
+        "sessions": Q_SESSIONS_SQL,
         "pip_join": Q_PIP_JOIN_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,
         "knn": Q_KNN_SQL,

@@ -266,6 +266,64 @@ FROM nation
 
 
 # ---------------------------------------------------------------------------
+# noder: snap-round noding of crossing linework
+# ---------------------------------------------------------------------------
+
+def q_node_grid(spark, sf_dir) -> DataFrame:
+    """node() (geom/noding.py:373; semantics noder.clj:43-88) on
+    crossing grid lines: every crossing becomes a node, so an nx×ny
+    unit grid dissolves into (nx+1)·ny + (ny+1)·nx unit substrings."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        (2 + k % 4).cast("long").alias("nx"),
+        (2 + k % 3).cast("long").alias("ny"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("n_segments", LongType()),
+            StructField("total_length", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.noding import node
+        from .geom.ops import length as glen
+
+        for pdf in batches:
+            rows = []
+            for key, nx, ny in zip(pdf["n_nationkey"], pdf["nx"], pdf["ny"]):
+                nx, ny = int(nx), int(ny)
+                paths = [
+                    gc.line_string([(float(i), 0.0), (float(i), float(ny))])
+                    for i in range(nx + 1)
+                ] + [
+                    gc.line_string([(0.0, float(j)), (float(nx), float(j))])
+                    for j in range(ny + 1)
+                ]
+                noded = node(paths)
+                rows.append(
+                    (key, len(noded), round(sum(glen(g) for g, _ in noded), 6))
+                )
+            yield pd.DataFrame(rows, columns=["n_nationkey", "n_segments", "total_length"])
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_NODE_GRID_SQL = """
+SELECT n_nationkey,
+       ((2 + n_nationkey%4 + 1) * (2 + n_nationkey%3)
+        + (2 + n_nationkey%3 + 1) * (2 + n_nationkey%4))::BIGINT AS n_segments,
+       ROUND(((2 + n_nationkey%4 + 1) * (2 + n_nationkey%3)
+        + (2 + n_nationkey%3 + 1) * (2 + n_nationkey%4))::DOUBLE, 6) AS total_length
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # predicate truth table over constructed boxes
 # ---------------------------------------------------------------------------
 

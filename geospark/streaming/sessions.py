@@ -114,12 +114,18 @@ def sessionize_batch(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_seconds: int = 1800,
+    tiebreaker: str = None,
 ) -> DataFrame:
     """Batch session windows (closed-form with window functions) —
-    the oracle-comparable twin of `sessionize`."""
+    the oracle-comparable twin of `sessionize`.
+
+    tiebreaker: optional unique column appended to the window ordering
+    so runs are deterministic when timestamps tie (required for exact
+    cross-engine comparison)."""
     from pyspark.sql import Window, functions as F
 
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    order = [ts_col] + ([tiebreaker] if tiebreaker else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
     d = (
         events.withColumn("__prev", F.lag(ts_col).over(w))
         .withColumn(
@@ -127,7 +133,10 @@ def sessionize_batch(
             (
                 F.col("__prev").isNull()
                 | (
-                    F.col(ts_col).cast("long") - F.col("__prev").cast("long")
+                    # NTZ timestamps can't cast straight to long in
+                    # Spark 4 — route through TimestampType first
+                    F.col(ts_col).cast("timestamp").cast("long")
+                    - F.col("__prev").cast("timestamp").cast("long")
                     > gap_seconds
                 )
             ).cast("int"),
