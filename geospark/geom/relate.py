@@ -57,10 +57,97 @@ def _boundary(g: Geometry) -> Optional[Geometry]:
     return None if b.is_empty() else b
 
 
+def _collinear_share_length(lwa, lwb) -> bool:
+    """True when two lineworks share a positive-length collinear
+    stretch (exact pairwise segment test, bbox-prefiltered)."""
+    from .linear import _collinear_overlap, _orient
+
+    for ca in lwa:
+        for cb in lwb:
+            for i in range(len(ca) - 1):
+                p1, p2 = ca[i], ca[i + 1]
+                lo_x, hi_x = min(p1[0], p2[0]), max(p1[0], p2[0])
+                lo_y, hi_y = min(p1[1], p2[1]), max(p1[1], p2[1])
+                for j in range(len(cb) - 1):
+                    q1, q2 = cb[j], cb[j + 1]
+                    if (
+                        max(q1[0], q2[0]) < lo_x or min(q1[0], q2[0]) > hi_x
+                        or max(q1[1], q2[1]) < lo_y or min(q1[1], q2[1]) > hi_y
+                    ):
+                        continue
+                    if _orient(p1, p2, q1) == 0 and _orient(p1, p2, q2) == 0:
+                        ov = _collinear_overlap(p1, p2, q1, q2)
+                        if len(ov) >= 2 and (
+                            ov[0][0] != ov[1][0] or ov[0][1] != ov[1][1]
+                        ):
+                            return True
+    return False
+
+
+def _relate_area_area(a: Geometry, b: Geometry, ba: Geometry, bb_: Geometry) -> str:
+    """Exact DE-9IM for two area geometries via the overlay kernels —
+    no sampling, so sub-segment contact stretches are never missed
+    (the fixed-offset sampler skipped stretches shorter than ~10% of
+    an edge; found by the driver's box relate oracle).
+
+    For area operands the mixed entries can only be F or their full
+    dimension (an open set can't meet a curve in isolated points), so
+    each entry reduces to an emptiness test on an overlay result."""
+    from .ops import length as _length
+    from .overlay import _lineal_minus_lineal
+
+    def _len_in_area(line: Geometry, poly: Geometry, minus: Geometry) -> bool:
+        """length(difference(intersection(line, poly), minus)) > 0"""
+        try:
+            clipped = intersection(line, poly)
+        except Exception:
+            return False
+        if clipped.is_empty() or _dim(clipped) < 1:
+            return False
+        try:
+            rest = _lineal_minus_lineal(clipped, minus)
+        except Exception:
+            rest = clipped
+        return (not rest.is_empty()) and _length(rest) > 1e-12
+
+    ii = 2 if _interiors_intersect(a, b) else F_DIM
+    ie = 2 if area(difference(a, b)) > 1e-12 else F_DIM
+    ei = 2 if area(difference(b, a)) > 1e-12 else F_DIM
+    # IB: ∂b inside closure(a), minus the part shared with ∂a
+    ib = 1 if _len_in_area(bb_, a, ba) else F_DIM
+    bi = 1 if _len_in_area(ba, b, bb_) else F_DIM
+    lwa, lwb = _linework(ba), _linework(bb_)
+    if _collinear_share_length(lwa, lwb):
+        bb = 1
+    elif any(
+        segments_intersect_any(c1, c2)
+        for c1 in lwa
+        for c2 in lwb
+        if len(c1) >= 2 and len(c2) >= 2
+    ):
+        bb = 0
+    else:
+        bb = F_DIM
+    # BE/EB: any of the boundary's length outside the other's closure
+    def _len_outside(line: Geometry, poly: Geometry) -> bool:
+        try:
+            inside = intersection(line, poly)
+        except Exception:
+            return True
+        li = _length(inside) if not inside.is_empty() else 0.0
+        return _length(line) - li > 1e-9
+    be = 1 if _len_outside(ba, b) else F_DIM
+    eb = 1 if _len_outside(bb_, a) else F_DIM
+    entries = [ii, ib, ie, bi, bb, be, ei, eb, 2]
+    return "".join("F" if e == F_DIM else str(e) for e in entries)
+
+
 def relate_matrix(a: Geometry, b: Geometry) -> str:
     """DE-9IM string, row-major II IB IE / BI BB BE / EI EB EE."""
     da, db = _dim(a), _dim(b)
     ba, bb_ = _boundary(a), _boundary(b)
+    if da == 2 and db == 2 and ba is not None and bb_ is not None:
+        return _relate_area_area(a, b, ba, bb_)
 
     def dim_II() -> int:
         if a.is_empty() or b.is_empty() or not _interiors_intersect(a, b):

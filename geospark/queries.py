@@ -766,6 +766,7 @@ def registry() -> Dict[str, Callable]:
         q_overlay_areas,
         q_polygonize,
         q_predicates_box,
+        q_relate_box,
         q_reproject_roundtrip,
     )
 
@@ -775,6 +776,7 @@ def registry() -> Dict[str, Callable]:
         "polygonize": q_polygonize,
         "node_grid": q_node_grid,
         "predicates_box": q_predicates_box,
+        "relate_box": q_relate_box,
         "reproject_roundtrip": q_reproject_roundtrip,
         "sessions": q_sessions,
         "pip_join": q_pip_join,
@@ -810,6 +812,7 @@ def oracles() -> Dict[str, str]:
         Q_OVERLAY_SQL,
         Q_POLYGONIZE_SQL,
         Q_PREDICATES_SQL,
+        Q_RELATE_SQL,
         Q_REPROJECT_SQL,
     )
 
@@ -819,6 +822,7 @@ def oracles() -> Dict[str, str]:
         "polygonize": Q_POLYGONIZE_SQL,
         "node_grid": Q_NODE_GRID_SQL,
         "predicates_box": Q_PREDICATES_SQL,
+        "relate_box": Q_RELATE_SQL,
         "reproject_roundtrip": Q_REPROJECT_SQL,
         "sessions": Q_SESSIONS_SQL,
         "pip_join": Q_PIP_JOIN_SQL,

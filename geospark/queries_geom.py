@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -428,6 +429,107 @@ SELECT a_key, b_key,
        (open_int AND NOT a_covers_b AND NOT b_covers_a) AS p_overlaps,
        a_covers_b AS p_covers,
        a_covers_b AS p_contains
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# DE-9IM relate over constructed boxes
+# ---------------------------------------------------------------------------
+
+def q_relate_box(spark, sf_dir) -> DataFrame:
+    """Full DE-9IM matrices via the real relate kernel
+    (geom/relate.py:60; semantics core.clj relates?/JTS relate) over
+    the same 625 box pairs as predicates_box.  For axis-aligned boxes
+    every matrix entry has a closed form (interval case analysis), so
+    the oracle reproduces the 9-char string exactly."""
+    from .functions import st_geomfromtext
+
+    n = _t(spark, sf_dir, "nation")
+
+    def boxes(key_alias, mulx, muly, sizes):
+        k = F.col("n_nationkey")
+        x0 = (k * mulx) % 20
+        y0 = (k * muly) % 20
+        s = sizes[0] + sizes[1] * (k % sizes[2])
+        wkt = F.format_string(
+            "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+            x0, y0, x0 + s, y0, x0 + s, y0 + s, x0, y0 + s, x0, y0,
+        )
+        return n.select(k.alias(key_alias), st_geomfromtext(wkt).alias(f"g_{key_alias}"))
+
+    src = boxes("a_key", 3, 7, (5, 5, 3)).crossJoin(boxes("b_key", 9, 13, (5, 5, 2)))
+    out_schema = StructType(
+        [
+            StructField("a_key", src.schema["a_key"].dataType),
+            StructField("b_key", src.schema["b_key"].dataType),
+            StructField("de9im", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.relate import relate_matrix
+
+        for pdf in batches:
+            rows = [
+                (ak, bk, relate_matrix(gc.from_wkb(wa), gc.from_wkb(wb)))
+                for ak, bk, wa, wb in zip(
+                    pdf["a_key"], pdf["b_key"], pdf["g_a_key"], pdf["g_b_key"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["a_key", "b_key", "de9im"])
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_RELATE_SQL = """
+WITH a AS (
+  SELECT n_nationkey AS a_key,
+         (n_nationkey*3)%20 AS x0, (n_nationkey*7)%20 AS y0,
+         5 + 5*(n_nationkey%3) AS s
+  FROM nation),
+b AS (
+  SELECT n_nationkey AS b_key,
+         (n_nationkey*9)%20 AS x0, (n_nationkey*13)%20 AS y0,
+         5 + 5*(n_nationkey%2) AS s
+  FROM nation),
+p AS (
+  SELECT a.a_key, b.b_key,
+         a.x0 AS ax0, a.y0 AS ay0, a.x0+a.s AS ax1, a.y0+a.s AS ay1,
+         b.x0 AS bx0, b.y0 AS by0, b.x0+b.s AS bx1, b.y0+b.s AS by1
+  FROM a, b),
+r AS (
+  SELECT *,
+    (ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1) AS ix,
+    (ax0 <  bx1 AND bx0 <  ax1 AND ay0 <  by1 AND by0 <  ay1) AS ox,
+    (ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1) AS a_in_b,
+    (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1) AS b_in_a,
+    (ax0 >  bx0 AND ax1 <  bx1 AND ay0 >  by0 AND ay1 <  by1) AS a_strict_in_b,
+    (bx0 >  ax0 AND bx1 <  ax1 AND by0 >  ay0 AND by1 <  ay1) AS b_strict_in_a,
+    (GREATEST(ay0, by0) < LEAST(ay1, by1)) AS oy_open,
+    (GREATEST(ax0, bx0) < LEAST(ax1, bx1)) AS ox_open,
+    -- a boundary edge of B strictly inside A's interior (and vice versa)
+    (((bx0 > ax0 AND bx0 < ax1) OR (bx1 > ax0 AND bx1 < ax1)) AND GREATEST(ay0, by0) < LEAST(ay1, by1)
+     OR ((by0 > ay0 AND by0 < ay1) OR (by1 > ay0 AND by1 < ay1)) AND GREATEST(ax0, bx0) < LEAST(ax1, bx1)) AS ib,
+    (((ax0 > bx0 AND ax0 < bx1) OR (ax1 > bx0 AND ax1 < bx1)) AND GREATEST(ay0, by0) < LEAST(ay1, by1)
+     OR ((ay0 > by0 AND ay0 < by1) OR (ay1 > by0 AND ay1 < by1)) AND GREATEST(ax0, bx0) < LEAST(ax1, bx1)) AS bi,
+    -- collinear boundary edges sharing a positive-length segment
+    (((ax0 = bx0 OR ax0 = bx1 OR ax1 = bx0 OR ax1 = bx1) AND LEAST(ay1, by1) > GREATEST(ay0, by0))
+     OR ((ay0 = by0 OR ay0 = by1 OR ay1 = by0 OR ay1 = by1) AND LEAST(ax1, bx1) > GREATEST(ax0, bx0))) AS bb_seg
+  FROM p)
+SELECT a_key, b_key,
+  (CASE WHEN ox THEN '2' ELSE 'F' END)
+  || (CASE WHEN ib THEN '1' ELSE 'F' END)
+  || (CASE WHEN a_in_b THEN 'F' ELSE '2' END)
+  || (CASE WHEN bi THEN '1' ELSE 'F' END)
+  || (CASE WHEN bb_seg THEN '1'
+           WHEN ix AND NOT a_strict_in_b AND NOT b_strict_in_a THEN '0'
+           ELSE 'F' END)
+  || (CASE WHEN a_in_b THEN 'F' ELSE '1' END)
+  || (CASE WHEN b_in_a THEN 'F' ELSE '2' END)
+  || (CASE WHEN b_in_a THEN 'F' ELSE '1' END)
+  || '2' AS de9im
 FROM r
 """
 

@@ -25,6 +25,25 @@ def test_relate_matrices_match_jts():
         assert relate_matrix(g(a), g(b)) == exp, (a, b)
 
 
+def test_relate_area_area_short_contact_stretches():
+    # regression (found by the driver relate oracle): contact/overlap
+    # features spanning <10% of an edge were missed by the old
+    # fixed-offset sampler — the area×area path is now overlay-exact
+    cases = [
+        # tiny corner overlap [8,9]×[12,13] of a 10-unit and 5-unit box
+        ("POLYGON ((8 12, 18 12, 18 22, 8 22, 8 12))",
+         "POLYGON ((4 8, 9 8, 9 13, 4 13, 4 8))", "212101212"),
+        # edge touch where the shared segment is 1/15 of A's edge
+        ("POLYGON ((2 18, 17 18, 17 33, 2 33, 2 18))",
+         "POLYGON ((17 9, 27 9, 27 19, 17 19, 17 9))", "FF2F11212"),
+        # same-x-extent strip overlap (collinear side edges)
+        ("POLYGON ((19 11, 29 11, 29 21, 19 21, 19 11))",
+         "POLYGON ((19 3, 29 3, 29 13, 19 13, 19 3))", "212111212"),
+    ]
+    for a, b, exp in cases:
+        assert relate_matrix(g(a), g(b)) == exp, (a, b)
+
+
 def test_relates_masks():
     a = g(SQ1)
     ov = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
