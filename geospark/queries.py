@@ -762,12 +762,16 @@ FROM nation
 def registry() -> Dict[str, Callable]:
     from .queries_geom import (
         q_cut_line,
+        q_hull_points,
+        q_linear_refs,
+        q_measures_box,
         q_node_grid,
         q_overlay_areas,
         q_polygonize,
         q_predicates_box,
         q_relate_box,
         q_reproject_roundtrip,
+        q_valid_buffer,
     )
 
     return {
@@ -778,6 +782,10 @@ def registry() -> Dict[str, Callable]:
         "predicates_box": q_predicates_box,
         "relate_box": q_relate_box,
         "reproject_roundtrip": q_reproject_roundtrip,
+        "measures_box": q_measures_box,
+        "hull_points": q_hull_points,
+        "valid_buffer": q_valid_buffer,
+        "linear_refs": q_linear_refs,
         "sessions": q_sessions,
         "pip_join": q_pip_join,
         "tile_assign": q_tile_assign,
@@ -808,12 +816,16 @@ def registry() -> Dict[str, Callable]:
 def oracles() -> Dict[str, str]:
     from .queries_geom import (
         Q_CUT_LINE_SQL,
+        Q_HULL_SQL,
+        Q_LINEAR_REFS_SQL,
+        Q_MEASURES_SQL,
         Q_NODE_GRID_SQL,
         Q_OVERLAY_SQL,
         Q_POLYGONIZE_SQL,
         Q_PREDICATES_SQL,
         Q_RELATE_SQL,
         Q_REPROJECT_SQL,
+        Q_VALID_BUFFER_SQL,
     )
 
     return {
@@ -824,6 +836,10 @@ def oracles() -> Dict[str, str]:
         "predicates_box": Q_PREDICATES_SQL,
         "relate_box": Q_RELATE_SQL,
         "reproject_roundtrip": Q_REPROJECT_SQL,
+        "measures_box": Q_MEASURES_SQL,
+        "hull_points": Q_HULL_SQL,
+        "valid_buffer": Q_VALID_BUFFER_SQL,
+        "linear_refs": Q_LINEAR_REFS_SQL,
         "sessions": Q_SESSIONS_SQL,
         "pip_join": Q_PIP_JOIN_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,

@@ -267,6 +267,250 @@ FROM nation
 
 
 # ---------------------------------------------------------------------------
+# unary measures & inspection: area/length/centroid/MBC/envelope
+# ---------------------------------------------------------------------------
+
+def q_measures_box(spark, sf_dir) -> DataFrame:
+    """§2.C/§2.E measures through the real kernels — area, perimeter,
+    centroid, minimum bounding circle (Welzl), envelope — on nation
+    boxes; every value closed-form (radius = 1250·√2 is the same IEEE
+    double in both engines)."""
+    n = _t(spark, sf_dir, "nation")
+    from .functions import st_geomfromtext
+
+    k = F.col("n_nationkey")
+    x0 = (k * 773) % 18000
+    y0 = (k * 1571) % 18000
+    wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        x0, y0, x0 + 2500, y0, x0 + 2500, y0 + 2500, x0, y0 + 2500, x0, y0,
+    )
+    src = n.select(k.alias("n_nationkey"), st_geomfromtext(wkt).alias("geom"))
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("area", DoubleType()),
+            StructField("perimeter", DoubleType()),
+            StructField("cx", DoubleType()),
+            StructField("cy", DoubleType()),
+            StructField("mbc_r", DoubleType()),
+            StructField("env_xmin", DoubleType()),
+            StructField("env_ymax", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.ops import area, centroid, length, minimum_bounding_circle
+
+        for pdf in batches:
+            rows = []
+            for key, wkb in zip(pdf["n_nationkey"], pdf["geom"]):
+                g = gc.from_wkb(wkb)
+                c = centroid(g)
+                cx, cy = float(c.parts[0, 0]), float(c.parts[0, 1])
+                _, _, r = minimum_bounding_circle(g)
+                env = g.envelope()
+                rows.append(
+                    (
+                        key,
+                        round(area(g), 6),
+                        round(length(g), 6),
+                        round(cx, 6),
+                        round(cy, 6),
+                        round(r, 6),
+                        env[0],
+                        env[3],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["n_nationkey", "area", "perimeter", "cx", "cy",
+                         "mbc_r", "env_xmin", "env_ymax"],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_MEASURES_SQL = """
+SELECT n_nationkey,
+       ROUND(6250000.0, 6) AS area,
+       ROUND(10000.0, 6) AS perimeter,
+       ROUND(((n_nationkey*773)%18000) + 1250.0, 6) AS cx,
+       ROUND(((n_nationkey*1571)%18000) + 1250.0, 6) AS cy,
+       ROUND(1250.0 * sqrt(2.0), 6) AS mbc_r,
+       ((n_nationkey*773)%18000)::DOUBLE AS env_xmin,
+       (((n_nationkey*1571)%18000) + 2500)::DOUBLE AS env_ymax
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# convex hull over constructed point clouds
+# ---------------------------------------------------------------------------
+
+def q_hull_points(spark, sf_dir) -> DataFrame:
+    """Convex hull (monotone chain) of a box's 4 corners plus strictly
+    interior points — hull is exactly the box (area s², 4 vertices)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(k.alias("n_nationkey"), (10 + k % 7).cast("long").alias("s"))
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("hull_area", DoubleType()),
+            StructField("hull_vertices", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.ops import area, convex_hull
+
+        for pdf in batches:
+            rows = []
+            for key, s in zip(pdf["n_nationkey"], pdf["s"]):
+                s = int(s)
+                pts = [(0.0, 0.0), (float(s), 0.0), (float(s), float(s)), (0.0, float(s))]
+                pts += [
+                    (1.0 + (key * 3 + i) % (s - 1), 1.0 + (key * 7 + i) % (s - 1))
+                    for i in range(12)
+                ]
+                hull = convex_hull(gc.multi_point(pts))
+                # shell ring: closed → vertices = len - 1
+                rows.append((key, round(area(hull), 6), len(hull.parts[0]) - 1))
+            yield pd.DataFrame(rows, columns=["n_nationkey", "hull_area", "hull_vertices"])
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_HULL_SQL = """
+SELECT n_nationkey,
+       ROUND(((10 + n_nationkey%7) * (10 + n_nationkey%7))::DOUBLE, 6) AS hull_area,
+       4::BIGINT AS hull_vertices
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# negative buffer + make-valid on a bowtie
+# ---------------------------------------------------------------------------
+
+def q_valid_buffer(spark, sf_dir) -> DataFrame:
+    """Negative buffer erosion of a box (→ (s-2d)² exactly) and
+    make_valid of a self-intersecting bowtie (→ two triangles, s²/2)
+    through the real kernels."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(k.alias("n_nationkey"), (20 + 2 * (k % 5)).cast("long").alias("s"))
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("eroded_area", DoubleType()),
+            StructField("bowtie_area", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.buffer import buffer
+        from .geom.ops import area
+        from .geom.overlay import make_valid
+
+        for pdf in batches:
+            rows = []
+            for key, s in zip(pdf["n_nationkey"], pdf["s"]):
+                s = float(int(s))
+                box = gc.from_wkt(
+                    f"POLYGON ((0 0, {s} 0, {s} {s}, 0 {s}, 0 0))"
+                )
+                eroded = buffer(box, -2.0, quad_segs=4)
+                bowtie = gc.Geometry(
+                    gc.POLYGON,
+                    [np.array([[0, 0], [s, s], [s, 0], [0, s], [0, 0]], dtype=np.float64)],
+                )
+                fixed = make_valid(bowtie)
+                rows.append((key, round(area(eroded), 6), round(area(fixed), 6)))
+            yield pd.DataFrame(rows, columns=["n_nationkey", "eroded_area", "bowtie_area"])
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_VALID_BUFFER_SQL = """
+SELECT n_nationkey,
+       ROUND(((20 + 2*(n_nationkey%5)) - 4.0) * ((20 + 2*(n_nationkey%5)) - 4.0), 6) AS eroded_area,
+       ROUND((20 + 2*(n_nationkey%5)) * (20 + 2*(n_nationkey%5)) / 2.0, 6) AS bowtie_area
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# linear referencing: along-line interpolation, densify, split
+# ---------------------------------------------------------------------------
+
+def q_linear_refs(spark, sf_dir) -> DataFrame:
+    """Length-indexed interpolation at half length, densify vertex
+    count, and split-at-point on the L-shaped integer polyline —
+    closed-form in SQL (geom/linear.py LengthIndexedLine/split_line,
+    geom/ops.py densify; semantics core.clj:526-544, 661-670)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        (10 + (k * 3) % 15).cast("long").alias("L"),
+        (5 + (k * 7) % 10).cast("long").alias("M"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("mid_x", DoubleType()),
+            StructField("mid_y", DoubleType()),
+            StructField("densify_pts", LongType()),
+            StructField("split_parts", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.linear import LengthIndexedLine, split_line
+        from .geom.ops import densify
+
+        for pdf in batches:
+            rows = []
+            for key, L, M in zip(pdf["n_nationkey"], pdf["L"], pdf["M"]):
+                L, M = float(int(L)), float(int(M))
+                line = gc.line_string([(0.0, 0.0), (L, 0.0), (L, M)])
+                lil = LengthIndexedLine(line.parts)
+                mx, my = lil.extract_point((L + M) / 2.0)
+                dens = densify(line, 1.0)
+                parts = split_line(line, gc.point(L, 0.0))
+                rows.append(
+                    (key, round(mx, 6), round(my, 6), len(dens.parts), len(parts))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["n_nationkey", "mid_x", "mid_y", "densify_pts", "split_parts"],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_LINEAR_REFS_SQL = """
+WITH p AS (
+  SELECT n_nationkey,
+         (10 + (n_nationkey*3)%15)::DOUBLE AS L,
+         (5 + (n_nationkey*7)%10)::DOUBLE AS M
+  FROM nation)
+SELECT n_nationkey,
+       ROUND(CASE WHEN (L+M)/2 <= L THEN (L+M)/2 ELSE L END, 6) AS mid_x,
+       ROUND(CASE WHEN (L+M)/2 <= L THEN 0.0 ELSE (L+M)/2 - L END, 6) AS mid_y,
+       (L + M + 1)::BIGINT AS densify_pts,
+       2::BIGINT AS split_parts
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # noder: snap-round noding of crossing linework
 # ---------------------------------------------------------------------------
 
