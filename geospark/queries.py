@@ -683,6 +683,100 @@ def q_gpkg_roundtrip(spark, sf_dir) -> DataFrame:
 Q_GPKG_ROUNDTRIP_SQL = CUSTOMER_POINTS_SQL
 
 
+def q_gpkg_amend(spark, sf_dir) -> DataFrame:
+    """Write → amend (update-set join-update) → read-back conformance:
+    customers land as gpkg features in key order (keys start at 0 so
+    fid == c_custkey + 1), every 5th row's attribute is amended
+    via the temp-table join-update plan, coordinates survive the GP
+    blob roundtrip (io/gpkg.py amend_gpkg; gpkg.clj:1148-1374)."""
+    import os
+    import tempfile
+
+    from .functions import st_point, wkb_to_points_np
+    from .io import gpkg as gpkg_io
+
+    pts = customer_points(spark, sf_dir).orderBy("c_custkey").select(
+        "c_custkey",
+        st_point("x", "y").alias("geom"),
+        F.format_string("v%d", F.col("c_custkey") % 7).alias("v"),
+    )
+    path = os.path.join(tempfile.gettempdir(), "geospark_q_amend.gpkg")
+    if os.path.exists(path):
+        os.unlink(path)
+    gpkg_io.write_gpkg(pts, path, "amd", srid=27700)
+    amend = customer_points(spark, sf_dir).where(
+        F.col("c_custkey") % 5 == 0
+    ).select(
+        (F.col("c_custkey") + 1).alias("rowid"),
+        F.format_string("A%d", F.col("c_custkey")).alias("v"),
+    )
+    gpkg_io.amend_gpkg(amend, path, "amd", method="update-set")
+    back = gpkg_io.read_gpkg(spark, path, "amd")
+
+    @F.pandas_udf("x double, y double")
+    def coords(wkb: pd.Series) -> pd.DataFrame:
+        x, y = wkb_to_points_np(list(wkb))
+        return pd.DataFrame({"x": x, "y": y})
+
+    return back.withColumn("__c", coords("geom")).select(
+        "c_custkey", "v", F.col("__c.x").alias("x"), F.col("__c.y").alias("y")
+    )
+
+
+Q_GPKG_AMEND_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL})
+SELECT c_custkey,
+       CASE WHEN c_custkey % 5 = 0 THEN 'A' || c_custkey
+            ELSE 'v' || (c_custkey % 7) END AS v,
+       x, y
+FROM pts
+"""
+
+
+def q_geojson_roundtrip(spark, sf_dir) -> DataFrame:
+    """GeoJSON source conformance (geojson/open): a FeatureCollection
+    synthesized from the customer derivation, parsed back through
+    read_geojson/geojson_df with exact coordinate recovery."""
+    import json
+    import os
+    import tempfile
+
+    from .io.geojson import geojson_df
+
+    pts = customer_points(spark, sf_dir).orderBy("c_custkey").collect()
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [r["x"], r["y"]]},
+                "properties": {"c_custkey": r["c_custkey"]},
+            }
+            for r in pts
+        ],
+    }
+    path = os.path.join(tempfile.gettempdir(), "geospark_q_geojson.json")
+    with open(path, "w") as fh:
+        json.dump(fc, fh)
+    df = geojson_df(spark, path)
+
+    from .functions import wkb_to_points_np
+
+    @F.pandas_udf("x double, y double")
+    def coords(wkb: pd.Series) -> pd.DataFrame:
+        x, y = wkb_to_points_np(list(wkb))
+        return pd.DataFrame({"x": x, "y": y})
+
+    return df.withColumn("__c", coords("geometry")).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("__c.x").alias("x"),
+        F.col("__c.y").alias("y"),
+    )
+
+
+Q_GEOJSON_SQL = CUSTOMER_POINTS_SQL
+
+
 def q_dissolve_region(spark, sf_dir) -> DataFrame:
     """Geometric dissolve (unary union) of nation boxes per region —
     arrangement-union kernel in applyInPandas.  Oracle: inclusion-
@@ -808,6 +902,8 @@ def registry() -> Dict[str, Callable]:
         "geocode": q_geocode,
         "box_join": q_box_join,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "gpkg_amend": q_gpkg_amend,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "dissolve_region": q_dissolve_region,
         "buffer_area": q_buffer_area,
     }
@@ -858,6 +954,8 @@ def oracles() -> Dict[str, str]:
         "geocode": Q_GEOCODE_SQL,
         "box_join": Q_BOX_JOIN_SQL,
         "gpkg_roundtrip": Q_GPKG_ROUNDTRIP_SQL,
+        "gpkg_amend": Q_GPKG_AMEND_SQL,
+        "geojson_roundtrip": Q_GEOJSON_SQL,
         "simhash": _simhash_sql(),
         "simhash_dups": _simhash_dups_sql(),
         "dissolve_region": Q_DISSOLVE_SQL,
