@@ -857,6 +857,7 @@ def registry() -> Dict[str, Callable]:
     from .queries_geom import (
         q_cut_line,
         q_hull_points,
+        q_inspect_ops,
         q_linear_refs,
         q_measures_box,
         q_node_grid,
@@ -878,6 +879,7 @@ def registry() -> Dict[str, Callable]:
         "reproject_roundtrip": q_reproject_roundtrip,
         "measures_box": q_measures_box,
         "hull_points": q_hull_points,
+        "inspect_ops": q_inspect_ops,
         "valid_buffer": q_valid_buffer,
         "linear_refs": q_linear_refs,
         "sessions": q_sessions,
@@ -913,6 +915,7 @@ def oracles() -> Dict[str, str]:
     from .queries_geom import (
         Q_CUT_LINE_SQL,
         Q_HULL_SQL,
+        Q_INSPECT_SQL,
         Q_LINEAR_REFS_SQL,
         Q_MEASURES_SQL,
         Q_NODE_GRID_SQL,
@@ -934,6 +937,7 @@ def oracles() -> Dict[str, str]:
         "reproject_roundtrip": Q_REPROJECT_SQL,
         "measures_box": Q_MEASURES_SQL,
         "hull_points": Q_HULL_SQL,
+        "inspect_ops": Q_INSPECT_SQL,
         "valid_buffer": Q_VALID_BUFFER_SQL,
         "linear_refs": Q_LINEAR_REFS_SQL,
         "sessions": Q_SESSIONS_SQL,

@@ -779,6 +779,83 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# type inspection / endpoints / thinness / precision
+# ---------------------------------------------------------------------------
+
+def q_inspect_ops(spark, sf_dir) -> DataFrame:
+    """§2.C inspection + §2.D scalar ops through the kernels:
+    geometry-type tags (WKB, no decode), endpoints-of, thinness ratio
+    (π/4 for a square), change-precision coordinate snapping."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        (10 + (k * 3) % 15).cast("long").alias("L"),
+        (5 + (k * 7) % 10).cast("long").alias("M"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("box_type", StringType()),
+            StructField("line_type", StringType()),
+            StructField("end_x", DoubleType()),
+            StructField("end_y", DoubleType()),
+            StructField("thinness", DoubleType()),
+            StructField("snapped_x", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .functions import st_geometrytype
+        from .geom import core as gc
+        from .geom.ops import change_precision, endpoints_of, thinness_ratio
+
+        def tname(g):
+            # the same WKB-tag → name path st_geometrytype uses
+            return st_geometrytype.func(pd.Series([gc.to_wkb(g)])).iloc[0]
+
+        for pdf in batches:
+            rows = []
+            for key, L, M in zip(pdf["n_nationkey"], pdf["L"], pdf["M"]):
+                L, M = float(int(L)), float(int(M))
+                box = gc.from_wkt(f"POLYGON ((0 0, {L} 0, {L} {L}, 0 {L}, 0 0))")
+                line = gc.line_string([(0.0, 0.0), (L, 0.0), (L, M)])
+                ends = endpoints_of(line)
+                frac = gc.line_string([(float(key) + 0.123456, 1.0), (2.0, 3.0)])
+                snapped = change_precision(frac, 100.0)
+                rows.append(
+                    (
+                        key,
+                        tname(box),
+                        tname(line),
+                        float(ends[1].parts[0, 0]),
+                        float(ends[1].parts[0, 1]),
+                        round(thinness_ratio(box), 6),
+                        round(float(snapped.parts[0, 0]), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["n_nationkey", "box_type", "line_type", "end_x", "end_y",
+                         "thinness", "snapped_x"],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_INSPECT_SQL = """
+SELECT n_nationkey,
+       'POLYGON' AS box_type,
+       'LINESTRING' AS line_type,
+       (10 + (n_nationkey*3)%15)::DOUBLE AS end_x,
+       (5 + (n_nationkey*7)%10)::DOUBLE AS end_y,
+       ROUND(pi() / 4, 6) AS thinness,
+       ROUND(n_nationkey + 0.12, 6) AS snapped_x
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # reprojection round-trip 27700 → 4326 → 27700
 # ---------------------------------------------------------------------------
 
