@@ -267,16 +267,34 @@ def predicate_join(
     predicate: str = "intersects",
     level: Optional[int] = None,
     grid: CellGrid = DEFAULT_GRID,
+    broadcast: Optional[bool] = None,
+    broadcast_threshold: int = BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """General geometry×geometry predicate join (both sides WKB).
 
-    Cover-cell equi-join with dedupe on the pair, then an exact
-    predicate refine — the distributed form of index/intersecting,
-    touching, overlapping, covered-by (index.clj:145-160).
+    Two physical plans, selected by the build-side size estimate
+    (same gate as pip_join):
+
+    broadcast (small right side — the common dimension-layer case):
+      a cell→geometry index of the right side ships once per executor;
+      the probe side runs ONE mapInPandas — no Catalyst join, no pair
+      dedupe shuffle, no WKB duplication per candidate row.
+    shuffle (both sides large): cover-cell equi-join with dedupe on
+      the pair, then the decode-once vectorized refine.
+
+    Both are the distributed form of index/intersecting, touching,
+    overlapping, covered-by (index.clj:145-160).
     `predicate` orientation: predicate(left_geom, right_geom).
     """
     if level is None:
         level = choose_level(right, right_geom, grid)
+    if broadcast is not False:
+        broadcast = estimate_build_bytes(right, right_geom) <= broadcast_threshold
+    if broadcast:
+        return _predicate_join_broadcast(
+            left, right, left_id, left_geom, right_id, right_geom,
+            predicate, level, grid,
+        )
     build = right.select(
         F.col(right_id).alias("__rid"),
         F.col(right_geom).alias("__rwkb"),
@@ -354,3 +372,92 @@ def predicate_join(
                 yield pd.DataFrame({"left_id": keep_l, "right_id": keep_r})
 
     return cand.mapInPandas(refine, schema=out_schema)
+
+
+def _predicate_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_geom: str,
+    right_id: str,
+    right_geom: str,
+    predicate: str,
+    level: int,
+    grid: CellGrid,
+) -> DataFrame:
+    """Broadcast-index plan: cell→right-geometry index shipped once per
+    executor, one python stage over the left side, zero shuffles."""
+    from collections import defaultdict
+
+    from ..cells.coverage import cover_geometry
+
+    fn = _PRED_FNS[predicate]
+    rows = [(r[0], bytes(r[1])) for r in right.select(right_id, right_geom).collect()]
+    rids, geoms, envs = [], [], []
+    cell_map = defaultdict(list)
+    for i, (rid, wkb) in enumerate(rows):
+        g = gc.from_wkb(wkb)
+        if g.is_empty():
+            continue
+        for cid in cover_geometry(g, grid, level):
+            cell_map[int(cid)].append(i)
+        rids.append(rid)
+        geoms.append(wkb)
+        envs.append(g.envelope())
+    index = {
+        "rids": rids,
+        "wkbs": geoms,
+        "envs": envs,
+        "cells": {c: np.asarray(v, dtype=np.int32) for c, v in cell_map.items()},
+    }
+    bc = left.sparkSession.sparkContext.broadcast(index)
+
+    probe = left.select(F.col(left_id).alias("__lid"), F.col(left_geom).alias("__lwkb"))
+    out_schema = StructType(
+        [
+            StructField("left_id", probe.schema["__lid"].dataType),
+            StructField("right_id", right.schema[right_id].dataType),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value
+        cells_map = idx["cells"]
+        wkbs = idx["wkbs"]
+        envs = idx["envs"]
+        rids_ = idx["rids"]
+        geom_cache: dict = {}
+        for pdf in batches:
+            keep_l, keep_r = [], []
+            for lid, lw in zip(pdf["__lid"], pdf["__lwkb"]):
+                ga = gc.from_wkb(lw)
+                if ga.is_empty():
+                    continue
+                aenv = ga.envelope()
+                cand_ids: set = set()
+                for cid in grid.cover_bbox(aenv[0], aenv[1], aenv[2], aenv[3], level):
+                    hits = cells_map.get(int(cid))
+                    if hits is not None:
+                        cand_ids.update(int(h) for h in hits)
+                for i in cand_ids:
+                    benv = envs[i]
+                    if (
+                        aenv[2] < benv[0]
+                        or benv[2] < aenv[0]
+                        or aenv[3] < benv[1]
+                        or benv[3] < aenv[1]
+                    ):
+                        continue
+                    gb = geom_cache.get(i)
+                    if gb is None:
+                        if len(geom_cache) >= _PREP_CACHE_MAX:
+                            geom_cache.clear()
+                        gb = gc.from_wkb(wkbs[i])
+                        geom_cache[i] = gb
+                    if fn(ga, gb):
+                        keep_l.append(lid)
+                        keep_r.append(rids_[i])
+            if keep_l:
+                yield pd.DataFrame({"left_id": keep_l, "right_id": keep_r})
+
+    return probe.mapInPandas(run, schema=out_schema)

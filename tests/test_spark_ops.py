@@ -300,6 +300,44 @@ def test_pip_join_shuffle_path_matches_broadcast(spark):
     assert len(bc) > 0
 
 
+def test_predicate_join_broadcast_matches_shuffle(spark):
+    """The broadcast-index plan (small right side) and the shuffle
+    cover-cell plan must produce the identical pair set for every
+    predicate mode."""
+    from geospark.ops.joins import predicate_join
+
+    rng = np.random.RandomState(17)
+    n = 300
+
+    def boxes(seed):
+        r = np.random.RandomState(seed)
+        x0 = r.uniform(0, 500, n)
+        y0 = r.uniform(0, 500, n)
+        w = r.uniform(5, 30, n)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "gid": np.arange(n),
+                    "geom": [
+                        C.to_wkb(C.from_wkt(
+                            f"POLYGON (({a} {b}, {a+c} {b}, {a+c} {b+c}, {a} {b+c}, {a} {b}))"
+                        ))
+                        for a, b, c in zip(x0, y0, w)
+                    ],
+                }
+            )
+        )
+
+    L, R = boxes(1), boxes(2)
+    for pred in ("intersects", "overlaps", "covers"):
+        bcast = predicate_join(L, R, "gid", "geom", "gid", "geom", pred, broadcast=True).toPandas()
+        shuf = predicate_join(L, R, "gid", "geom", "gid", "geom", pred, broadcast=False).toPandas()
+        assert set(zip(bcast["left_id"], bcast["right_id"])) == set(
+            zip(shuf["left_id"], shuf["right_id"])
+        ), pred
+    assert len(bcast) >= 0 and len(shuf) >= 0
+
+
 def test_pip_join_size_gate_falls_back_to_shuffle(spark):
     """A build side over the broadcast threshold must take the shuffle
     path (no unbounded driver collect) with identical output — even
