@@ -866,6 +866,7 @@ def registry() -> Dict[str, Callable]:
         q_predicates_box,
         q_relate_box,
         q_reproject_roundtrip,
+        q_smooth_line,
         q_valid_buffer,
     )
 
@@ -882,6 +883,7 @@ def registry() -> Dict[str, Callable]:
         "inspect_ops": q_inspect_ops,
         "valid_buffer": q_valid_buffer,
         "linear_refs": q_linear_refs,
+        "smooth_line": q_smooth_line,
         "sessions": q_sessions,
         "pip_join": q_pip_join,
         "tile_assign": q_tile_assign,
@@ -924,6 +926,7 @@ def oracles() -> Dict[str, str]:
         Q_PREDICATES_SQL,
         Q_RELATE_SQL,
         Q_REPROJECT_SQL,
+        Q_SMOOTH_SQL,
         Q_VALID_BUFFER_SQL,
     )
 
@@ -940,6 +943,7 @@ def oracles() -> Dict[str, str]:
         "inspect_ops": Q_INSPECT_SQL,
         "valid_buffer": Q_VALID_BUFFER_SQL,
         "linear_refs": Q_LINEAR_REFS_SQL,
+        "smooth_line": Q_SMOOTH_SQL,
         "sessions": Q_SESSIONS_SQL,
         "pip_join": Q_PIP_JOIN_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,

@@ -856,6 +856,56 @@ FROM nation
 
 
 # ---------------------------------------------------------------------------
+# smooth (Chaikin corner cutting)
+# ---------------------------------------------------------------------------
+
+def q_smooth_line(spark, sf_dir) -> DataFrame:
+    """Chaikin 25/75 smoothing (geom/ops.py:smooth; goldens
+    core_test.clj:186-202) of the L-shaped integer polyline, one
+    iteration: the corner is cut at 0.75·L and 0.25·M (exact in
+    doubles — quarters of integers)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        (10 + (k * 3) % 15).cast("long").alias("L"),
+        (5 + (k * 7) % 10).cast("long").alias("M"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("n_pts", LongType()),
+            StructField("cut_x", DoubleType()),
+            StructField("cut_y", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.ops import smooth
+
+        for pdf in batches:
+            rows = []
+            for key, L, M in zip(pdf["n_nationkey"], pdf["L"], pdf["M"]):
+                L, M = float(int(L)), float(int(M))
+                s = smooth(gc.line_string([(0.0, 0.0), (L, 0.0), (L, M)]), 1)
+                c = s.parts
+                rows.append((key, len(c), float(c[1, 0]), float(c[2, 1])))
+            yield pd.DataFrame(rows, columns=["n_nationkey", "n_pts", "cut_x", "cut_y"])
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_SMOOTH_SQL = """
+SELECT n_nationkey,
+       4::BIGINT AS n_pts,
+       0.75 * (10 + (n_nationkey*3)%15) AS cut_x,
+       0.25 * (5 + (n_nationkey*7)%10) AS cut_y
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # reprojection round-trip 27700 → 4326 → 27700
 # ---------------------------------------------------------------------------
 
