@@ -137,3 +137,37 @@ def test_crs_roundtrip_property(e, n):
     e2, n2 = wgs84_to_bng(lon, lat)
     assert abs(float(e2) - e) < 0.01
     assert abs(float(n2) - n) < 0.01
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.tuples(
+        st.integers(0, 30), st.integers(0, 30), st.integers(1, 20), st.integers(1, 20)
+    ),
+    st.tuples(
+        st.integers(0, 30), st.integers(0, 30), st.integers(1, 20), st.integers(1, 20)
+    ),
+)
+def test_predicates_consistent_with_de9im(ra, rb):
+    """Cross-kernel consistency: each binary predicate must equal its
+    JTS DE-9IM mask evaluated on the (exact, area-area) relate matrix."""
+    from geospark.geom import core as C2
+    from geospark.geom import predicates as P2
+    from geospark.geom.relate import relate_matrix, relates
+
+    def box(x0, y0, w, h):
+        return C2.from_wkt(
+            f"POLYGON (({x0} {y0}, {x0+w} {y0}, {x0+w} {y0+h}, {x0} {y0+h}, {x0} {y0}))"
+        )
+
+    a = box(*ra)
+    b = box(*rb)
+    m = relate_matrix(a, b)
+    assert P2.intersects(a, b) == (not (m[0] == "F" and m[1] == "F" and m[3] == "F" and m[4] == "F"))
+    assert P2.touches(a, b) == (
+        m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F")
+    )
+    assert P2.overlaps(a, b) == relates(a, b, "T*T***T**")
+    covers_masks = ["T*****FF*", "*T****FF*", "***T**FF*", "****T*FF*"]
+    assert P2.covers(a, b) == any(relates(a, b, mk) for mk in covers_masks)
+    assert P2.contains(a, b) == relates(a, b, "T*****FF*")
