@@ -569,6 +569,81 @@ FROM nation
 
 
 # ---------------------------------------------------------------------------
+# cut-polygon: face extraction of a box cut by a vertical + horizontal line
+# ---------------------------------------------------------------------------
+
+def q_cut_polygon(spark, sf_dir) -> DataFrame:
+    """cut_polygon (geom/noding.py:309; semantics core.clj:580-591):
+    an s×s box cut by x=c and y=d → 4 rectangular faces with closed-
+    form areas (sorted ascending so the oracle is order-free)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    s = (10 + 2 * (k % 5)).cast("long")
+    src = n.select(
+        k.alias("n_nationkey"),
+        s.alias("s"),
+        (1 + (k * 3) % (s - 1)).cast("long").alias("c"),
+        (1 + (k * 7) % (s - 1)).cast("long").alias("d"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("n_faces", LongType()),
+            StructField("a1", DoubleType()),
+            StructField("a2", DoubleType()),
+            StructField("a3", DoubleType()),
+            StructField("a4", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.noding import cut_polygon
+        from .geom.ops import area
+
+        for pdf in batches:
+            rows = []
+            for key, s_, c_, d_ in zip(pdf["n_nationkey"], pdf["s"], pdf["c"], pdf["d"]):
+                s_, c_, d_ = float(int(s_)), float(int(c_)), float(int(d_))
+                box = gc.from_wkt(
+                    f"POLYGON ((0 0, {s_} 0, {s_} {s_}, 0 {s_}, 0 0))"
+                )
+                cutters = [
+                    gc.line_string([(c_, -1.0), (c_, s_ + 1.0)]),
+                    gc.line_string([(-1.0, d_), (s_ + 1.0, d_)]),
+                ]
+                faces = cut_polygon(box, cutters)
+                areas = sorted(round(area(f), 6) for f in faces)
+                while len(areas) < 4:
+                    areas.append(float("nan"))
+                rows.append((key, len(faces), areas[0], areas[1], areas[2], areas[3]))
+            yield pd.DataFrame(
+                rows, columns=["n_nationkey", "n_faces", "a1", "a2", "a3", "a4"]
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_CUT_POLYGON_SQL = """
+WITH p AS (
+  SELECT n_nationkey,
+         (10 + 2*(n_nationkey%5))::DOUBLE AS s,
+         (1 + (n_nationkey*3) % (10 + 2*(n_nationkey%5) - 1))::DOUBLE AS c,
+         (1 + (n_nationkey*7) % (10 + 2*(n_nationkey%5) - 1))::DOUBLE AS d
+  FROM nation),
+f AS (
+  SELECT n_nationkey,
+         [c*d, (s-c)*d, c*(s-d), (s-c)*(s-d)] AS areas
+  FROM p),
+srt AS (SELECT n_nationkey, list_sort(areas) AS a FROM f)
+SELECT n_nationkey, 4::BIGINT AS n_faces,
+       ROUND(a[1], 6) AS a1, ROUND(a[2], 6) AS a2,
+       ROUND(a[3], 6) AS a3, ROUND(a[4], 6) AS a4
+FROM srt
+"""
+
+
+# ---------------------------------------------------------------------------
 # predicate truth table over constructed boxes
 # ---------------------------------------------------------------------------
 
