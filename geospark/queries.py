@@ -777,6 +777,107 @@ def q_geojson_roundtrip(spark, sf_dir) -> DataFrame:
 Q_GEOJSON_SQL = CUSTOMER_POINTS_SQL
 
 
+def q_gpkg_schema(spark, sf_dir) -> DataFrame:
+    """gpkg_schema extension conformance: write a table, attach column
+    metadata + a range constraint, read every extension surface back
+    (column_metadata / column_constraints / extensions;
+    gpkg.clj:964-1068) — and the file must still pass the full 41-check
+    validator.  Output = flattened (kind, name, value) rows; oracle =
+    the literal expectation."""
+    import os
+    import tempfile
+
+    from .functions import st_point
+    from .io import gpkg as gpkg_io
+    from .io.gpkg_validate import failures, validate
+
+    pts = customer_points(spark, sf_dir).limit(10).select(
+        "c_custkey", st_point("x", "y").alias("geom")
+    )
+    path = os.path.join(tempfile.gettempdir(), "geospark_q_schema.gpkg")
+    if os.path.exists(path):
+        os.unlink(path)
+    gpkg_io.write_gpkg(pts, path, "pts", srid=27700)
+    gpkg_io.set_column_metadata(
+        path, "pts", "c_custkey",
+        {"name": "custkey", "title": "Customer key", "constraint": "rng"},
+    )
+    gpkg_io.add_constraint(
+        path,
+        {"name": "rng", "type": "range", "min": 0, "min_is_inclusive": True,
+         "max": 1000000, "max_is_inclusive": False},
+    )
+    meta = gpkg_io.column_metadata(path, "pts")["c_custkey"]
+    cons = gpkg_io.column_constraints(path, "rng")[0]
+    exts = sorted(
+        {e["extension_name"] for e in gpkg_io.extensions(path)}
+    )
+    n_fail = len(failures(validate(path)))
+    rows = [
+        ("meta", "name", str(meta["name"])),
+        ("meta", "title", str(meta["title"])),
+        ("meta", "constraint", str(meta["constraint"])),
+        ("constraint", "type", str(cons["type"])),
+        ("constraint", "min", str(int(cons["min"]))),
+        ("constraint", "max", str(int(cons["max"]))),
+        ("extensions", "registered", ",".join(exts)),
+        ("validator", "failures", str(n_fail)),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["kind", "name", "value"]))
+
+
+Q_GPKG_SCHEMA_SQL = """
+SELECT * FROM (VALUES
+  ('meta', 'name', 'custkey'),
+  ('meta', 'title', 'Customer key'),
+  ('meta', 'constraint', 'rng'),
+  ('constraint', 'type', 'range'),
+  ('constraint', 'min', '0'),
+  ('constraint', 'max', '1000000'),
+  ('extensions', 'registered', 'gpkg_schema'),
+  ('validator', 'failures', '0')
+) AS t(kind, name, value)
+"""
+
+
+def q_tile_rollup(spark, sf_dir) -> DataFrame:
+    """Hypertable-style rollup through stream_tile_counts' batch twin
+    (streaming/windows.py — identical code path batch/stream): events
+    → synthetic points → Z-order tiles → 1-hour windowed per-tile
+    counts.  Tile ids decode to floor arithmetic, windows align to
+    epoch hours, so the oracle is closed-form."""
+    from .cells.cellid import unpack
+    from .streaming.windows import stream_tile_counts
+
+    e = _t(spark, sf_dir, "events").select(
+        "ts",
+        ((F.col("event_id") * 7919) % 100000).cast("double").alias("x"),
+        ((F.col("event_id") * 104729) % 100000).cast("double").alias("y"),
+    )
+    t = stream_tile_counts(e, "ts", level=TILE_LEVEL, window="1 hour", grid=TILE_GRID)
+
+    @F.pandas_udf("tile_ix long, tile_iy long")
+    def coords(c: pd.Series) -> pd.DataFrame:
+        _, ix, iy = unpack(c.to_numpy(np.int64))
+        return pd.DataFrame({"tile_ix": ix, "tile_iy": iy})
+
+    return t.withColumn("__c", coords("cell_id")).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("__c.tile_ix").alias("tile_ix"),
+        F.col("__c.tile_iy").alias("tile_iy"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+Q_TILE_ROLLUP_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(floor(((event_id*7919)%100000)/1000) AS BIGINT) AS tile_ix,
+       CAST(floor(((event_id*104729)%100000)/1000) AS BIGINT) AS tile_iy,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def q_dissolve_region(spark, sf_dir) -> DataFrame:
     """Geometric dissolve (unary union) of nation boxes per region —
     arrangement-union kernel in applyInPandas.  Oracle: inclusion-
@@ -909,6 +1010,8 @@ def registry() -> Dict[str, Callable]:
         "box_join": q_box_join,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "gpkg_amend": q_gpkg_amend,
+        "gpkg_schema": q_gpkg_schema,
+        "tile_rollup": q_tile_rollup,
         "geojson_roundtrip": q_geojson_roundtrip,
         "dissolve_region": q_dissolve_region,
         "buffer_area": q_buffer_area,
@@ -967,6 +1070,8 @@ def oracles() -> Dict[str, str]:
         "box_join": Q_BOX_JOIN_SQL,
         "gpkg_roundtrip": Q_GPKG_ROUNDTRIP_SQL,
         "gpkg_amend": Q_GPKG_AMEND_SQL,
+        "gpkg_schema": Q_GPKG_SCHEMA_SQL,
+        "tile_rollup": Q_TILE_ROLLUP_SQL,
         "geojson_roundtrip": Q_GEOJSON_SQL,
         "simhash": _simhash_sql(),
         "simhash_dups": _simhash_dups_sql(),
