@@ -968,6 +968,7 @@ def registry() -> Dict[str, Callable]:
         q_predicates_box,
         q_relate_box,
         q_reproject_roundtrip,
+        q_rings_ops,
         q_smooth_line,
         q_valid_buffer,
     )
@@ -987,6 +988,7 @@ def registry() -> Dict[str, Callable]:
         "valid_buffer": q_valid_buffer,
         "linear_refs": q_linear_refs,
         "smooth_line": q_smooth_line,
+        "rings_ops": q_rings_ops,
         "sessions": q_sessions,
         "pip_join": q_pip_join,
         "tile_assign": q_tile_assign,
@@ -1032,6 +1034,7 @@ def oracles() -> Dict[str, str]:
         Q_PREDICATES_SQL,
         Q_RELATE_SQL,
         Q_REPROJECT_SQL,
+        Q_RINGS_SQL,
         Q_SMOOTH_SQL,
         Q_VALID_BUFFER_SQL,
     )
@@ -1051,6 +1054,7 @@ def oracles() -> Dict[str, str]:
         "valid_buffer": Q_VALID_BUFFER_SQL,
         "linear_refs": Q_LINEAR_REFS_SQL,
         "smooth_line": Q_SMOOTH_SQL,
+        "rings_ops": Q_RINGS_SQL,
         "sessions": Q_SESSIONS_SQL,
         "pip_join": Q_PIP_JOIN_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,

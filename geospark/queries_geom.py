@@ -931,6 +931,101 @@ FROM nation
 
 
 # ---------------------------------------------------------------------------
+# rings & lineal topology: holes, fill, exterior ring, line-merge
+# ---------------------------------------------------------------------------
+
+def q_rings_ops(spark, sf_dir) -> DataFrame:
+    """§2.D ring/lineal ops through the kernels: holes_of /
+    fill_holes / exterior_ring_of on a box with a rectangular hole,
+    line_merge on two touching collinear segments plus one disjoint —
+    every output closed-form."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        (12 + 2 * (k % 5)).cast("long").alias("s"),
+        (2 + k % 3).cast("long").alias("h"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("n_holes", LongType()),
+            StructField("hole_area", DoubleType()),
+            StructField("donut_area", DoubleType()),
+            StructField("filled_area", DoubleType()),
+            StructField("shell_length", DoubleType()),
+            StructField("merged_lines", LongType()),
+            StructField("merged_length", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.ops import (
+            area,
+            exterior_ring_of,
+            fill_holes,
+            holes_of,
+            length,
+            line_merge,
+        )
+
+        for pdf in batches:
+            rows = []
+            for key, s, h in zip(pdf["n_nationkey"], pdf["s"], pdf["h"]):
+                s, h = float(int(s)), float(int(h))
+                donut = gc.polygon(
+                    [(0, 0), (s, 0), (s, s), (0, s), (0, 0)],
+                    holes=[[(2, 2), (2 + h, 2), (2 + h, 2 + h), (2, 2 + h), (2, 2)]],
+                )
+                holes = holes_of(donut)
+                merged = line_merge(
+                    [
+                        gc.line_string([(0.0, 0.0), (5.0, 0.0)]),
+                        gc.line_string([(5.0, 0.0), (9.0, 0.0)]),
+                        gc.line_string([(100.0, 100.0), (100.0, 103.0)]),
+                    ]
+                )
+                rows.append(
+                    (
+                        key,
+                        len(holes),
+                        round(area(holes[0]), 6),
+                        round(area(donut), 6),
+                        round(area(fill_holes(donut)), 6),
+                        round(length(exterior_ring_of(donut)), 6),
+                        len(merged),
+                        round(sum(length(m) for m in merged), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["n_nationkey", "n_holes", "hole_area", "donut_area",
+                         "filled_area", "shell_length", "merged_lines", "merged_length"],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_RINGS_SQL = """
+WITH p AS (
+  SELECT n_nationkey,
+         (12 + 2*(n_nationkey%5))::DOUBLE AS s,
+         (2 + n_nationkey%3)::DOUBLE AS h
+  FROM nation)
+SELECT n_nationkey,
+       1::BIGINT AS n_holes,
+       ROUND(h*h, 6) AS hole_area,
+       ROUND(s*s - h*h, 6) AS donut_area,
+       ROUND(s*s, 6) AS filled_area,
+       ROUND(4*s, 6) AS shell_length,
+       2::BIGINT AS merged_lines,
+       ROUND(12.0, 6) AS merged_length
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # smooth (Chaikin corner cutting)
 # ---------------------------------------------------------------------------
 
