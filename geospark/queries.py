@@ -958,6 +958,7 @@ def registry() -> Dict[str, Callable]:
     from .queries_geom import (
         q_cut_line,
         q_cut_polygon,
+        q_distance_ops,
         q_hull_points,
         q_inspect_ops,
         q_linear_refs,
@@ -977,6 +978,7 @@ def registry() -> Dict[str, Callable]:
         "overlay_areas": q_overlay_areas,
         "cut_line": q_cut_line,
         "cut_polygon": q_cut_polygon,
+        "distance_ops": q_distance_ops,
         "polygonize": q_polygonize,
         "node_grid": q_node_grid,
         "predicates_box": q_predicates_box,
@@ -1024,6 +1026,7 @@ def oracles() -> Dict[str, str]:
     from .queries_geom import (
         Q_CUT_LINE_SQL,
         Q_CUT_POLYGON_SQL,
+        Q_DISTANCE_SQL,
         Q_HULL_SQL,
         Q_INSPECT_SQL,
         Q_LINEAR_REFS_SQL,
@@ -1043,6 +1046,7 @@ def oracles() -> Dict[str, str]:
         "overlay_areas": Q_OVERLAY_SQL,
         "cut_line": Q_CUT_LINE_SQL,
         "cut_polygon": Q_CUT_POLYGON_SQL,
+        "distance_ops": Q_DISTANCE_SQL,
         "polygonize": Q_POLYGONIZE_SQL,
         "node_grid": Q_NODE_GRID_SQL,
         "predicates_box": Q_PREDICATES_SQL,

@@ -931,6 +931,97 @@ FROM nation
 
 
 # ---------------------------------------------------------------------------
+# distance / closest-points + multi-part extraction
+# ---------------------------------------------------------------------------
+
+def q_distance_ops(spark, sf_dir) -> DataFrame:
+    """§2.E distance/closest-points-on + §2.C/D part extraction via
+    the kernels.  Two disjoint integer boxes separated along x with a
+    y-offset: distance = sqrt of an integer (identical IEEE double in
+    both engines), witnesses are the facing corners.  A 2-box
+    multipolygon exercises parts_of and envelope_polygon."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        (3 + k % 5).cast("long").alias("gap"),
+        (k % 4).cast("long").alias("dy"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("dist", DoubleType()),
+            StructField("wa_x", DoubleType()),
+            StructField("wb_x", DoubleType()),
+            StructField("n_parts", LongType()),
+            StructField("env_area", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.ops import area, envelope_polygon, parts_of
+        from .geom.predicates import closest_points
+
+        for pdf in batches:
+            rows = []
+            for key, gap, dy in zip(pdf["n_nationkey"], pdf["gap"], pdf["dy"]):
+                gap, dy = float(int(gap)), float(int(dy))
+                a = gc.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+                bx0 = 10.0 + gap
+                by0 = 10.0 + dy  # strictly above A's top-right corner
+                b = gc.from_wkt(
+                    f"POLYGON (({bx0} {by0}, {bx0+10} {by0}, {bx0+10} {by0+10}, "
+                    f"{bx0} {by0+10}, {bx0} {by0}))"
+                )
+                d, wa, wb = closest_points(a, b)
+                mp = gc.multi_polygon(
+                    [
+                        [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]],
+                        [
+                            [
+                                (bx0, by0), (bx0 + 10, by0), (bx0 + 10, by0 + 10),
+                                (bx0, by0 + 10), (bx0, by0),
+                            ]
+                        ],
+                    ]
+                )
+                rows.append(
+                    (
+                        key,
+                        round(d, 6),
+                        float(wa[0]),
+                        float(wb[0]),
+                        len(parts_of(mp)),
+                        round(area(envelope_polygon(mp)), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["n_nationkey", "dist", "wa_x", "wb_x", "n_parts", "env_area"],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_DISTANCE_SQL = """
+WITH p AS (
+  SELECT n_nationkey,
+         (3 + n_nationkey%5)::DOUBLE AS gap,
+         (n_nationkey%4)::DOUBLE AS dy
+  FROM nation)
+SELECT n_nationkey,
+       -- corner-to-corner: A's (10,10) to B's (10+gap, 10+dy)
+       ROUND(sqrt(gap*gap + dy*dy), 6) AS dist,
+       10.0 AS wa_x,
+       10.0 + gap AS wb_x,
+       2::BIGINT AS n_parts,
+       ROUND((20.0 + gap) * (20.0 + dy), 6) AS env_area
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # rings & lineal topology: holes, fill, exterior ring, line-merge
 # ---------------------------------------------------------------------------
 
