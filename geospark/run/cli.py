@@ -29,12 +29,16 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    from ..io.pages import generate_districts, generate_pages
-    from ..ops.flagship import geocode_pip_tile
-    from .pipeline import Pipeline, SnapshotCatalog
+    # absolute imports: spark-submit runs this file as a plain script
+    # (no parent package); the --py-files zip provides `geospark`
+    from geospark.io.pages import generate_districts, generate_pages
+    from geospark.ops.flagship import geocode_pip_tile
+    from geospark.run.pipeline import Pipeline, catalog_for
 
     spark = SparkSession.builder.appName("geospark-flagship").getOrCreate()
-    catalog = SnapshotCatalog(args.out)
+    # real Iceberg catalog when the runtime jar + config exist (cluster
+    # deployments); parquet + atomic-manifest fallback otherwise
+    catalog = catalog_for(spark, args.out)
     pipe = Pipeline(spark, catalog, args.run_id)
 
     def stage_pages(s, outputs):
