@@ -561,20 +561,11 @@ def amend_gpkg(
             f'UPDATE "{table}" SET {sets} WHERE rowid IN (SELECT {key} FROM __amend WHERE __singular = 1)'
         )
         if method == "right-join":
+            # NOT IN over a set containing NULL is UNKNOWN for every
+            # row (would silently skip the delete), so filter NULL keys
             con.execute(
-                f'DELETE FROM "{table}" WHERE rowid NOT IN (SELECT {key} FROM __amend)'
-            )
-        if method in ("outer-join", "right-join"):
-            # insert unmatched source rows (reference ':outer-join does
-            # :left-join and then inserts unmatched rows',
-            # gpkg.clj:1318-1372).  Singular non-null keys become the
-            # new fid; duplicates/nulls take autoincrement fids.
-            sel_cols = ", ".join(f'a."{c}"' for c in set_cols)
-            con.execute(
-                f'INSERT INTO "{table}" (fid, {", ".join(chr(34)+c+chr(34) for c in set_cols)}) '
-                f"SELECT CASE WHEN a.__singular = 1 THEN a.{key} ELSE NULL END, {sel_cols} "
-                f"FROM __amend a "
-                f"WHERE a.{key} IS NULL OR a.{key} NOT IN (SELECT k FROM __matched)"
+                f'DELETE FROM "{table}" WHERE rowid NOT IN '
+                f"(SELECT {key} FROM __amend WHERE {key} IS NOT NULL)"
             )
         if method in ("left-join", "outer-join", "right-join") and ndup:
             # multiply: insert copies joined with the duplicate rows,
@@ -592,6 +583,22 @@ def amend_gpkg(
             )
             con.execute(
                 f'DELETE FROM "{table}" WHERE rowid IN (SELECT {key} FROM __amend WHERE __singular = 0)'
+            )
+        if method in ("outer-join", "right-join"):
+            # insert unmatched source rows (reference ':outer-join does
+            # :left-join and then inserts unmatched rows',
+            # gpkg.clj:1318-1372).  Singular non-null keys become the
+            # new fid; duplicates/nulls take autoincrement fids.  Runs
+            # AFTER the duplicate-multiply step: an autoincrement fid
+            # assigned here may equal a duplicate source key, and the
+            # multiply would otherwise pick the fresh row up and
+            # multiply/delete it.
+            sel_cols = ", ".join(f'a."{c}"' for c in set_cols)
+            con.execute(
+                f'INSERT INTO "{table}" (fid, {", ".join(chr(34)+c+chr(34) for c in set_cols)}) '
+                f"SELECT CASE WHEN a.__singular = 1 THEN a.{key} ELSE NULL END, {sel_cols} "
+                f"FROM __amend a "
+                f"WHERE a.{key} IS NULL OR a.{key} NOT IN (SELECT k FROM __matched)"
             )
         con.execute("DROP TABLE __amend")
         con.commit()

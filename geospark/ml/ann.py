@@ -87,6 +87,8 @@ def ivf_topk(
         for r in corpus.select(c_emb).limit(train_sample).collect()
     ]
     S = np.stack(sample)
+    if S.shape[1] != dim:
+        raise ValueError(f"corpus embeddings are {S.shape[1]}-d, expected dim={dim}")
     S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     n_c = min(n_centroids, len(S))
     centers = S[rng.choice(len(S), size=n_c, replace=False)]
@@ -157,8 +159,19 @@ def cosine_near_dups(
         F.transform(F.col(emb), lambda v: v.cast("double")).alias("__e"),
     )
     if candidates is not None:
+        # normalize to the exact-form contract (id_a < id_b, no self
+        # pairs): raw LSH candidates contain self matches and both
+        # orientations
+        cand = (
+            candidates.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
         pairs = (
-            candidates.select("id_a", "id_b")
+            cand
             .join(c.select(F.col("__id").alias("id_a"), F.col("__e").alias("__ea")), "id_a")
             .join(c.select(F.col("__id").alias("id_b"), F.col("__e").alias("__eb")), "id_b")
         )
@@ -203,6 +216,11 @@ def lsh_topk(
     """
     if n_planes % band_bits != 0:
         raise ValueError("n_planes must be a multiple of band_bits")
+    if multiprobe not in (0, 1):
+        raise NotImplementedError(
+            "multiprobe is the probe Hamming radius; only 0 (exact bucket) "
+            "and 1 (all single-bit flips) are implemented"
+        )
     n_bands = n_planes // band_bits
     band_mask = (1 << band_bits) - 1
     rng = np.random.RandomState(seed)

@@ -60,19 +60,20 @@ BROADCAST_MAX_BYTES = 256 << 20
 
 def estimate_build_bytes(polys: DataFrame, geom_col: str, sample: int = 1000) -> int:
     """Cheap build-side size estimate: row count × sampled avg WKB
-    length (+ dict-entry overhead).  Two small jobs; the count is
-    metadata-only on parquet sources."""
-    n = polys.count()
-    if n == 0:
-        return 0
-    avg = (
+    length (+ dict-entry overhead).  ONE job for the common small-dim
+    case: count+avg over limit(sample+1) — if the limit wasn't hit the
+    count is exact; only genuinely large tables pay a second
+    (metadata-cheap on parquet) count job."""
+    row = (
         polys.select(F.length(F.col(geom_col)).alias("l"))
-        .limit(sample)
-        .agg(F.avg("l"))
-        .collect()[0][0]
-        or 0.0
+        .limit(sample + 1)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("l").alias("a"))
+        .collect()[0]
     )
-    return int(n * (avg + 64))
+    n, avg = row["n"], row["a"] or 0.0
+    if n <= sample:
+        return int(n * (avg + 64))
+    return int(polys.count() * (avg + 64))
 
 
 def _prepared(key, wkb: bytes) -> gpred.PreparedPolygon:
@@ -327,12 +328,16 @@ def predicate_join(
         # false without touching the geometry kernels.
         geom_cache: dict = {}
 
-        def decoded(key, wkb):
+        def decoded(side, rowid, wkb):
+            # key must include the geometry content: ids need not be
+            # unique across input rows (same rule as _prepared above)
+            b = bytes(wkb)
+            key = (side, rowid, len(b), hash(b))
             g = geom_cache.get(key)
             if g is None:
                 if len(geom_cache) >= _PREP_CACHE_MAX:
                     geom_cache.clear()
-                g = gc.from_wkb(wkb)
+                g = gc.from_wkb(b)
                 geom_cache[key] = g
             return g
 
@@ -349,12 +354,12 @@ def predicate_join(
             bounds = np.flatnonzero(np.r_[True, rid_s[1:] != rid_s[:-1], True])
             keep_l, keep_r = [], []
             for s, e in zip(bounds[:-1], bounds[1:]):
-                gb = decoded(("r", rid_s[s]), rwkb_s[s])
+                gb = decoded("r", rid_s[s], rwkb_s[s])
                 if gb.is_empty():
                     continue
                 benv = gb.envelope()
                 for i in range(s, e):
-                    ga = decoded(("l", lid_s[i]), lwkb_s[i])
+                    ga = decoded("l", lid_s[i], lwkb_s[i])
                     if ga.is_empty():
                         continue
                     aenv = ga.envelope()
@@ -395,12 +400,15 @@ def _predicate_join_broadcast(
     rows = [(r[0], bytes(r[1])) for r in right.select(right_id, right_geom).collect()]
     rids, geoms, envs = [], [], []
     cell_map = defaultdict(list)
-    for i, (rid, wkb) in enumerate(rows):
+    for rid, wkb in rows:
         g = gc.from_wkb(wkb)
         if g.is_empty():
             continue
+        # index into the COMPACTED arrays (empties are skipped above,
+        # so the raw row position would misalign)
+        idx = len(rids)
         for cid in cover_geometry(g, grid, level):
-            cell_map[int(cid)].append(i)
+            cell_map[int(cid)].append(idx)
         rids.append(rid)
         geoms.append(wkb)
         envs.append(g.envelope())

@@ -163,6 +163,32 @@ class TestAmend:
         # unmatched targets (rowids 2,3) deleted; unmatched source inserted
         assert self._rows(path) == [(None, "NEW"), (10, "A")]
 
+    def test_outer_join_duplicate_unmatched_keys(self, spark, tmp_path):
+        # regression: duplicate unmatched keys get autoincrement fids
+        # that can equal their own key value; the multiply step must
+        # not pick the freshly inserted row up (insert runs last)
+        path = self._mk(spark, tmp_path, "ojd")  # fids 1..3
+        gpkg.amend_gpkg(
+            pd.DataFrame({"rowid": [4, 4], "v": ["X", "Y"]}),
+            path,
+            "t",
+            method="outer-join",
+        )
+        rows = self._rows(path)
+        assert rows == [(None, "X"), (None, "Y"), (10, "a"), (20, "b"), (30, "c")]
+
+    def test_right_join_null_key_still_deletes(self, spark, tmp_path):
+        # regression: NOT IN over a set containing NULL is UNKNOWN for
+        # every row — unmatched targets must still be deleted
+        path = self._mk(spark, tmp_path, "rjn")
+        gpkg.amend_gpkg(
+            pd.DataFrame({"rowid": [1.0, None], "v": ["A", "NEW"]}),
+            path,
+            "t",
+            method="right-join",
+        )
+        assert self._rows(path) == [(None, "NEW"), (10, "A")]
+
     def test_amend_streams_spark_df(self, spark, tmp_path):
         # the Spark-DataFrame input path (toLocalIterator, no toPandas)
         path = self._mk(spark, tmp_path, "sdf")

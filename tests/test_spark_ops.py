@@ -329,6 +329,11 @@ def test_predicate_join_broadcast_matches_shuffle(spark):
         )
 
     L, R = boxes(1), boxes(2)
+    # regression: an empty geometry ahead of non-empty rows must not
+    # misalign the broadcast cell index (indexes are compacted)
+    R = spark.createDataFrame(
+        pd.DataFrame({"gid": [9999], "geom": [C.to_wkb(C.from_wkt("POLYGON EMPTY"))]})
+    ).unionByName(R)
     for pred in ("intersects", "overlaps", "covers"):
         bcast = predicate_join(L, R, "gid", "geom", "gid", "geom", pred, broadcast=True).toPandas()
         shuf = predicate_join(L, R, "gid", "geom", "gid", "geom", pred, broadcast=False).toPandas()
