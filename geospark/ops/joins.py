@@ -29,11 +29,11 @@ from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from ..cells.cellid import DEFAULT_GRID, CellGrid
-from ..functions import cell_of_point, cover_cells, wkb_to_points_np
+from ..functions import cell_of_point, cover_cells
 from ..geom import core as gc
 from ..geom import predicates as gpred
 

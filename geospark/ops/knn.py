@@ -19,7 +19,7 @@ touches; equi-join, dedupe, rank with a window.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd
