@@ -956,6 +956,7 @@ FROM nation
 
 def registry() -> Dict[str, Callable]:
     from .queries_geom import (
+        q_codec_roundtrip,
         q_cut_line,
         q_cut_polygon,
         q_distance_ops,
@@ -975,6 +976,7 @@ def registry() -> Dict[str, Callable]:
     )
 
     return {
+        "codec_roundtrip": q_codec_roundtrip,
         "overlay_areas": q_overlay_areas,
         "cut_line": q_cut_line,
         "cut_polygon": q_cut_polygon,
@@ -1024,6 +1026,7 @@ def registry() -> Dict[str, Callable]:
 
 def oracles() -> Dict[str, str]:
     from .queries_geom import (
+        Q_CODEC_SQL,
         Q_CUT_LINE_SQL,
         Q_CUT_POLYGON_SQL,
         Q_DISTANCE_SQL,
@@ -1043,6 +1046,7 @@ def oracles() -> Dict[str, str]:
     )
 
     return {
+        "codec_roundtrip": Q_CODEC_SQL,
         "overlay_areas": Q_OVERLAY_SQL,
         "cut_line": Q_CUT_LINE_SQL,
         "cut_polygon": Q_CUT_POLYGON_SQL,

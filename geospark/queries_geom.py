@@ -36,6 +36,81 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WKT/WKB codec roundtrip (§2.B construction & codecs)
+# ---------------------------------------------------------------------------
+
+def q_codec_roundtrip(spark, sf_dir) -> DataFrame:
+    """WKT → geometry → WKB → geometry → WKT through the real codecs
+    (geom/core.py; semantics core.clj read-wkt/write-wkt + the WKB
+    codec).  Integer coordinates format identically in both engines;
+    WKB byte lengths are closed-form (polygon 9+4+5·16, point 21)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        ((k * 3) % 50).cast("long").alias("x0"),
+        ((k * 7) % 50).cast("long").alias("y0"),
+        (5 + k % 9).cast("long").alias("s"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("poly_wkt", StringType()),
+            StructField("poly_wkb_len", LongType()),
+            StructField("point_wkt", StringType()),
+            StructField("point_wkb_len", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+
+        for pdf in batches:
+            rows = []
+            for key, x0, y0, s in zip(pdf["n_nationkey"], pdf["x0"], pdf["y0"], pdf["s"]):
+                x0, y0, s = int(x0), int(y0), int(s)
+                wkt = (
+                    f"POLYGON (({x0} {y0}, {x0+s} {y0}, {x0+s} {y0+s}, "
+                    f"{x0} {y0+s}, {x0} {y0}))"
+                )
+                g = gc.from_wkb(gc.to_wkb(gc.from_wkt(wkt)))
+                p = gc.from_wkb(gc.to_wkb(gc.point(float(x0), float(y0))))
+                rows.append(
+                    (
+                        key,
+                        gc.to_wkt(g),
+                        len(gc.to_wkb(g)),
+                        gc.to_wkt(p),
+                        len(gc.to_wkb(p)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["n_nationkey", "poly_wkt", "poly_wkb_len",
+                         "point_wkt", "point_wkb_len"],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_CODEC_SQL = """
+WITH p AS (
+  SELECT n_nationkey,
+         (n_nationkey*3)%50 AS x0, (n_nationkey*7)%50 AS y0,
+         5 + n_nationkey%9 AS s
+  FROM nation)
+SELECT n_nationkey,
+       'POLYGON ((' || x0 || ' ' || y0 || ', ' || (x0+s) || ' ' || y0 || ', '
+         || (x0+s) || ' ' || (y0+s) || ', ' || x0 || ' ' || (y0+s) || ', '
+         || x0 || ' ' || y0 || '))' AS poly_wkt,
+       (1 + 4 + 4 + 4 + 5*16)::BIGINT AS poly_wkb_len,
+       'POINT (' || x0 || ' ' || y0 || ')' AS point_wkt,
+       21::BIGINT AS point_wkb_len
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # overlay: intersection / union / difference / sym-difference areas
 # ---------------------------------------------------------------------------
 
