@@ -15,6 +15,39 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
+Q_SCALE = 1 << 20  # embedding quantization step for the exact sign-hash
+P_HALF = 1 << 19   # plane entries are uniform integers in [-P_HALF, P_HALF)
+
+
+def portable_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic integer hyperplanes, reproducible in ANY engine
+    with md5: entry (i, j) = first-8-hex-chars-of md5('plane:i:j') as
+    uint32, mapped to [-2^19, 2^19).  Returned as float64 (the values
+    are integers ≤ 2^19, so float64 matmul against integer-quantized
+    embeddings stays EXACT — every intermediate < 2^53).  Uniform-cube
+    rather than Gaussian directions: fine for sign-LSH in practice,
+    and it makes the signature bit-for-bit replayable in a SQL oracle
+    (recall vs brute force is asserted separately in tests)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for i in range(n_planes):
+        for j in range(dim):
+            h = int(hashlib.md5(f"plane:{i}:{j}".encode()).hexdigest()[:8], 16)
+            out[i, j] = float((h % (2 * P_HALF)) - P_HALF)
+    return out
+
+
+def portable_planes_sql(n_planes: int, dim: int) -> str:
+    """DuckDB CTE body producing the identical plane table:
+    (i BIGINT, p LIST<BIGINT>[dim])."""
+    return f"""
+  SELECT i, list_transform(range(0, {dim}),
+           j -> (('0x' || substring(md5('plane:' || i || ':' || j), 1, 8))::UBIGINT
+                 % {2 * P_HALF})::BIGINT - {P_HALF}) AS p
+  FROM range(0, {n_planes}) t(i)"""
+
+
 def _cosine_col(a, b):
     """Cosine similarity between two array<double> columns, sequential
     left-fold (matches the oracle's list-reduction order)."""
@@ -140,6 +173,79 @@ def ivf_topk(
     )
 
 
+def ivf_topk_deterministic(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    qid: str = "qid",
+    cid: str = "cid",
+    q_emb: str = "embedding",
+    c_emb: str = "embedding",
+) -> DataFrame:
+    """IVF with a fully engine-portable coarse quantizer — the oracle-
+    checkable twin of `ivf_topk` (same plan shape: assign → inverted
+    lists → probe-join → exact re-rank), trading Lloyd refinement for
+    determinism:
+
+      centers: the `n_centroids` corpus vectors with the smallest
+        md5(vec_id-as-string) — a deterministic pseudo-random sample
+        any engine reproduces (k-means++-style seeding without the
+        iterations).
+      assign/probe: argmax / top-nprobe of ROUND(cosine, 6) with
+        center-id tiebreak — rounding before the argmax makes the
+        assignment robust to last-ulp float differences across
+        engines; ties at 6dp break on the smaller center id.
+
+    Pure DataFrame ops (no pandas UDF): the corpus×centers scoring is
+    a broadcast nested-loop the JVM codegens; at 100 TB the corpus is
+    scanned once and only the tiny center table is broadcast."""
+    c = corpus.select(
+        F.col(cid).alias("__cid"),
+        F.transform(F.col(c_emb), lambda v: v.cast("double")).alias("__ce"),
+    )
+    q = queries.select(
+        F.col(qid).alias("__qid"),
+        F.transform(F.col(q_emb), lambda v: v.cast("double")).alias("__qe"),
+    )
+    # distributed TakeOrdered (orderBy+limit), NOT a global window —
+    # the row_number only runs over the already-selected n rows
+    sample = c.withColumn("__h", F.md5(F.col("__cid").cast("string"))).orderBy(
+        "__h"
+    ).limit(n_centroids)
+    centers = F.broadcast(
+        sample.withColumn(
+            "__ctr", F.row_number().over(Window.orderBy("__h")) - 1
+        ).select("__ctr", F.col("__ce").alias("__ctre"))
+    )
+
+    def best_centers(df, emb_col, n):
+        scored = df.crossJoin(centers).withColumn(
+            "__csim", F.round(_cosine_col(F.col(emb_col), F.col("__ctre")), 6)
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("__csim").desc(), F.col("__ctr").asc()
+        )
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .where(F.col("__crank") <= n)
+            .drop("__csim", "__crank", "__ctre")
+        )
+
+    c_assigned = best_centers(c, "__ce", 1)
+    q_probes = best_centers(q, "__qe", nprobe)
+    cand = q_probes.join(c_assigned, on="__ctr", how="inner").withColumn(
+        "sim", F.round(_cosine_col(F.col("__qe"), F.col("__ce")), 6)
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("__qid").alias(qid), F.col("__cid").alias(cid), "sim", "rank")
+    )
+
+
 def cosine_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -198,7 +304,6 @@ def lsh_topk(
     q_emb: str = "embedding",
     c_emb: str = "embedding",
     dim: int = 64,
-    seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH, sized for scale:
 
@@ -223,12 +328,16 @@ def lsh_topk(
         )
     n_bands = n_planes // band_bits
     band_mask = (1 << band_bits) - 1
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    planes = portable_planes(n_planes, dim)
 
     @F.pandas_udf(LongType())
     def signature(emb: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        # exact sign-hash: floor(x*2^20 + 0.5) quantization (identical
+        # semantics to the oracle's floor(...+0.5)::BIGINT), then a
+        # float64 matmul whose terms/sums are all integers < 2^53 —
+        # bit-reproducible regardless of summation order or engine
+        m = np.floor(m * Q_SCALE + 0.5)
         signs = (m @ planes.T) > 0
         out = np.zeros(len(m), dtype=np.uint64)
         for i in range(n_planes):

@@ -352,8 +352,10 @@ FROM pairs QUALIFY rank <= 5
 
 
 def q_ann_lsh(spark, sf_dir) -> DataFrame:
-    """LSH-bucketed ANN (approximate → rows-only driver check; recall
-    vs brute force asserted in tests)."""
+    """LSH-bucketed ANN — now exact-oracle-checked: the hyperplanes are
+    md5-derived integers and the sign-hash runs on integer-quantized
+    embeddings, so every intermediate (< 2^53) is bit-reproducible in
+    DuckDB; the oracle replays signature→bands→multiprobe→re-rank."""
     from .ml.ann import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -363,16 +365,85 @@ def q_ann_lsh(spark, sf_dir) -> DataFrame:
     return out.select("qid", "cid", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+def _ann_lsh_sql() -> str:
+    from .ml.ann import portable_planes_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+planes AS ({portable_planes_sql(64, 64)}),
+qe AS (SELECT vec_id, emb,
+              list_transform(emb, x -> floor(x * 1048576 + 0.5)::BIGINT) AS qv
+       FROM e),
+dots AS (SELECT vec_id, i, list_dot_product(qv, p) AS dot FROM qe, planes),
+bands AS (
+  SELECT vec_id, (i // 16)::BIGINT AS b,
+         SUM(CASE WHEN dot > 0 THEN (1::BIGINT << (i % 16)::INTEGER) ELSE 0 END)::BIGINT AS v
+  FROM dots GROUP BY vec_id, b),
+qprobe AS (
+  SELECT vec_id AS qid, b,
+         CASE WHEN j = 16 THEN v ELSE xor(v, 1::BIGINT << j::INTEGER) END AS key
+  FROM bands, range(0, 17) t(j) WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.qid, c.vec_id AS cid
+  FROM qprobe q JOIN bands c ON q.b = c.b AND q.key = c.v),
+scored AS (
+  SELECT cand.qid, cand.cid,
+         round(list_dot_product(qq.emb, cc.emb)
+               / (sqrt(list_dot_product(qq.emb, qq.emb)) * sqrt(list_dot_product(cc.emb, cc.emb))),
+               6) AS sim
+  FROM cand JOIN e qq ON qq.vec_id = cand.qid JOIN e cc ON cc.vec_id = cand.cid)
+SELECT qid, cid, sim,
+       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
 def q_ann_ivf(spark, sf_dir) -> DataFrame:
-    """IVF coarse-quantizer ANN (approximate → rows-only driver check;
-    recall vs brute force asserted in tests)."""
-    from .ml.ann import ivf_topk
+    """IVF coarse-quantizer ANN, deterministic flavor — md5-ordered
+    center sample (no Lloyd), round-6dp cosine argmax assignment —
+    exactly replayable in the SQL oracle.  The trained (Lloyd) path
+    `ivf_topk` keeps the same plan shape and is recall-tested in
+    pytest."""
+    from .ml.ann import ivf_topk_deterministic
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
     c = e.select(F.col("vec_id").alias("cid"), "embedding")
-    out = ivf_topk(q, c, k=5, n_centroids=16, nprobe=4, qid="qid", cid="cid")
+    out = ivf_topk_deterministic(q, c, k=5, n_centroids=16, nprobe=4, qid="qid", cid="cid")
     return out.select("qid", "cid", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+Q_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+ctr AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS ctr, emb AS cemb
+  FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+cscore AS (
+  SELECT e.vec_id AS cid, ctr.ctr,
+         round(list_dot_product(e.emb, ctr.cemb)
+               / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(ctr.cemb, ctr.cemb))),
+               6) AS csim
+  FROM e, ctr),
+assigned AS (
+  SELECT cid, ctr FROM (
+    SELECT cid, ctr, row_number() OVER (PARTITION BY cid ORDER BY csim DESC, ctr) AS r
+    FROM cscore) WHERE r = 1),
+qscore AS (SELECT cid AS qid, ctr, csim FROM cscore WHERE cid < 10),
+probes AS (
+  SELECT qid, ctr FROM (
+    SELECT qid, ctr, row_number() OVER (PARTITION BY qid ORDER BY csim DESC, ctr) AS r
+    FROM qscore) WHERE r <= 4),
+scored AS (
+  SELECT p.qid, a.cid,
+         round(list_dot_product(qq.emb, cc.emb)
+               / (sqrt(list_dot_product(qq.emb, qq.emb)) * sqrt(list_dot_product(cc.emb, cc.emb))),
+               6) AS sim
+  FROM probes p JOIN assigned a ON a.ctr = p.ctr
+  JOIN e qq ON qq.vec_id = p.qid JOIN e cc ON cc.vec_id = a.cid)
+SELECT qid, cid, sim,
+       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+FROM scored QUALIFY rank <= 5
+"""
 
 
 def q_cosine_dups(spark, sf_dir) -> DataFrame:
@@ -520,7 +591,7 @@ def q_events_hourly(spark, sf_dir) -> DataFrame:
 Q_EVENTS_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value*100) AS BIGINT)) AS cents_sum
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents_sum
 FROM events GROUP BY 1, 2
 """
 
@@ -1089,5 +1160,6 @@ def oracles() -> Dict[str, str]:
         "simhash_dups": _simhash_dups_sql(),
         "dissolve_region": Q_DISSOLVE_SQL,
         "buffer_area": Q_BUFFER_SQL,
-        # ann_lsh: approximate → rows-only + recall test in pytest
+        "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": Q_ANN_IVF_SQL,
     }
