@@ -65,35 +65,82 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs: documents sharing ≥1 LSH band bucket.
-    shingle→minhash→band→bucket-join, then dedupe the pair."""
+    """Candidate near-dup pairs: documents sharing ≥1 LSH band bucket
+    (shingle→minhash→band→bucket, pair set deduped).
+
+    Plan shape (chosen for 100 TB, not just correctness): the MinHash
+    signature aggregation runs ONCE — bands come from a single
+    explode, buckets from one groupBy, and pairs from an in-row
+    double explode over each bucket's sorted id list.  No self-join,
+    so no second (or eighth) evaluation of the signature subtree and
+    no join shuffle; total shuffles = sig-agg + bucket-agg +
+    final pair distinct.
+
+    max_bucket — the skew guard: buckets holding more than this many
+    documents (boilerplate-heavy corpora: headers, licence pages,
+    empty docs) contribute size² candidate pairs and size-long
+    collect_lists; buckets over the cap are DROPPED BEFORE the list
+    aggregation and the number of dropped buckets is logged loudly
+    (never silently).  Ultra-common buckets carry no near-dup signal
+    (they are the Jaccard max_df analogue).  None (default) = exact,
+    oracle-scale mode; SET A CAP AT PRODUCTION SCALE."""
     sig = minhash_signatures(docs, id_col, text_col, n_hashes)
     n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{i}").cast("string") for i in range(b * band_size, (b + 1) * band_size)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *cols).alias("bucket"),
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"h{i}").cast("string") for i in range(b * band_size, (b + 1) * band_size)],
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__bb")
+    ).select(
+        F.col(id_col),
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bucket").alias("bucket"),
+    )
+    if max_bucket is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        n_dropped = sizes.where(F.col("__n") > max_bucket).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: dropped %d bucket(s) larger than max_bucket=%d "
+                "(boilerplate skew guard; pairs within those buckets are NOT emitted)",
+                n_dropped,
+                max_bucket,
             )
+        # inner join on the already-shuffled (band, bucket) keys — the
+        # following groupBy reuses the partitioning, no extra exchange
+        buckets = buckets.join(
+            sizes.where(F.col("__n") <= max_bucket).select("band", "bucket"),
+            ["band", "bucket"],
         )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionAll(b)
-    l = buckets.alias("l")
-    r = buckets.alias("r")
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    )
+    # skew-spread pair generation: one giant bucket would otherwise
+    # explode all size² pairs inside a single task.  posexplode makes
+    # one row per (bucket, position); the repartition spreads those
+    # rows across the cluster; slice(i+2..) emits each ordered pair
+    # exactly once (ids are sorted, so a < b by construction).
+    first = (
+        grouped.where(F.size("__ids") > 1)
+        .select(F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids"))
+        .where(F.col("__i") < F.size("__ids") - 1)
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        first.repartition("id_a", "__i")
         .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            "id_a",
+            F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias("id_b"),
         )
         .distinct()
     )
