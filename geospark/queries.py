@@ -596,6 +596,78 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_media_features(spark, sf_dir) -> DataFrame:
+    """Multimodal decode+feature plumbing through the REAL mapInPandas
+    stage (multimodal/media.py image_features) with the deterministic
+    fake codec: pixel (r,c) of image id has value
+    ((r*31)%256 + (c*17)%256 + S) % 256 with S = Σ sha256('img-id')
+    bytes, so the per-channel means are exact integer arithmetic the
+    oracle replays (DuckDB sha256 + per-pixel expansion).  Image dims
+    derive from the id exactly like generate_media."""
+    from .multimodal.media import fake_image_payload, image_features
+
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("media_id"))
+
+    from pyspark.sql.types import BinaryType, IntegerType, LongType, StructField, StructType
+
+    gen_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w = 32 + (i * 7 + 42) % 96
+                h = 32 + (i * 13 + 42) % 64
+                rows.append((i, fake_image_payload(i, w, h)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = n.select(F.col("media_id").cast("long")).mapInPandas(gen, schema=gen_schema)
+    feats = image_features(media, codec="fake")
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_rgb")[0], 6).alias("mean_r"),
+        F.round(F.col("mean_rgb")[1], 6).alias("mean_g"),
+        F.round(F.col("mean_rgb")[2], 6).alias("mean_b"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+Q_MEDIA_SQL = """
+WITH ids AS (
+  SELECT n_nationkey::BIGINT AS media_id,
+         32 + (n_nationkey*7 + 42) % 96 AS w,
+         32 + (n_nationkey*13 + 42) % 64 AS h,
+         sha256('img-' || n_nationkey) AS hx
+  FROM nation),
+seeds AS (
+  SELECT media_id, w, h,
+         list_sum(list_transform(range(0, 32),
+           i -> ('0x' || substring(hx, i*2 + 1, 2))::BIGINT)) AS s
+  FROM ids),
+px AS (
+  SELECT media_id, w, h,
+         ((r*31) % 256 + (c*17) % 256 + s) % 256 AS base
+  FROM seeds, range(0, 128) t1(r), range(0, 128) t2(c)
+  WHERE r < h AND c < w)
+SELECT media_id,
+       ROUND(AVG(base), 6) AS mean_r,
+       ROUND(AVG((base*3) % 256), 6) AS mean_g,
+       ROUND(AVG((base*7) % 256), 6) AS mean_b,
+       MAX(w)::BIGINT AS width,
+       MAX(h)::BIGINT AS height
+FROM px GROUP BY media_id
+"""
+
+
 def q_sessions(spark, sf_dir) -> DataFrame:
     """Sessionization (30-min gap) through the batch twin of the
     applyInPandasWithState streaming operator (streaming/sessions.py;
@@ -1044,6 +1116,9 @@ def registry() -> Dict[str, Callable]:
         q_rings_ops,
         q_smooth_line,
         q_valid_buffer,
+        q_boundary_interior,
+        q_concave_hull,
+        q_noder_connect,
     )
 
     return {
@@ -1092,6 +1167,10 @@ def registry() -> Dict[str, Callable]:
         "geojson_roundtrip": q_geojson_roundtrip,
         "dissolve_region": q_dissolve_region,
         "buffer_area": q_buffer_area,
+        "boundary_interior": q_boundary_interior,
+        "concave_hull": q_concave_hull,
+        "noder_connect": q_noder_connect,
+        "media_features": q_media_features,
     }
 
 
@@ -1114,6 +1193,9 @@ def oracles() -> Dict[str, str]:
         Q_RINGS_SQL,
         Q_SMOOTH_SQL,
         Q_VALID_BUFFER_SQL,
+        Q_BOUNDARY_INTERIOR_SQL,
+        Q_CONCAVE_HULL_SQL,
+        Q_NODER_CONNECT_SQL,
     )
 
     return {
@@ -1162,4 +1244,8 @@ def oracles() -> Dict[str, str]:
         "buffer_area": Q_BUFFER_SQL,
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": Q_ANN_IVF_SQL,
+        "boundary_interior": Q_BOUNDARY_INTERIOR_SQL,
+        "concave_hull": Q_CONCAVE_HULL_SQL,
+        "noder_connect": Q_NODER_CONNECT_SQL,
+        "media_features": Q_MEDIA_SQL,
     }

@@ -1276,3 +1276,268 @@ SELECT c_custkey,
        ROUND((200000 + (c_custkey*7919)%700000)::DOUBLE, 2) AS n2
 FROM customer
 """
+
+
+# ---------------------------------------------------------------------------
+# boundary-of + interior-point-of (core.clj:297-308)
+# ---------------------------------------------------------------------------
+
+def q_boundary_interior(spark, sf_dir) -> DataFrame:
+    """OGC boundary (polygon→ring(s), open line→endpoint multipoint,
+    closed line→empty) and interior-point (widest-chord scanline)
+    through the real kernels (geom/ops.py boundary_of/interior_point;
+    semantics core.clj:297-308).  Even keys: plain box → LINEARRING
+    boundary, interior point = box center.  Odd keys: donut (hole
+    inset 1) → MULTILINESTRING boundary, interior point = midpoint of
+    the widest scanline interval OUTSIDE the hole (x0+0.5).  All
+    constructed coords are integers, so the WKT strings and point
+    coords are closed-form."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        ((k * 3) % 40).cast("long").alias("x0"),
+        ((k * 7) % 40).cast("long").alias("y0"),
+        (4 + k % 5).cast("long").alias("s"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("boundary_wkt", StringType()),
+            StructField("line_boundary_wkt", StringType()),
+            StructField("ring_boundary_wkt", StringType()),
+            StructField("ix", DoubleType()),
+            StructField("iy", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.ops import boundary_of, interior_point
+
+        for pdf in batches:
+            rows = []
+            for key, x0, y0, s in zip(pdf["n_nationkey"], pdf["x0"], pdf["y0"], pdf["s"]):
+                x0, y0, s = int(x0), int(y0), int(s)
+                shell = f"({x0} {y0}, {x0+s} {y0}, {x0+s} {y0+s}, {x0} {y0+s}, {x0} {y0})"
+                if key % 2 == 0:
+                    poly = gc.from_wkt(f"POLYGON ({shell})")
+                else:
+                    hole = (
+                        f"({x0+1} {y0+1}, {x0+s-1} {y0+1}, {x0+s-1} {y0+s-1}, "
+                        f"{x0+1} {y0+s-1}, {x0+1} {y0+1})"
+                    )
+                    poly = gc.from_wkt(f"POLYGON ({shell}, {hole})")
+                open_line = gc.from_wkt(
+                    f"LINESTRING ({x0} {y0}, {x0+s} {y0}, {x0+s} {y0+s})"
+                )
+                ring_line = gc.from_wkt(
+                    f"LINESTRING ({x0} {y0}, {x0+s} {y0}, {x0+s} {y0+s}, {x0} {y0})"
+                )
+                ip = interior_point(poly)
+                rows.append(
+                    (
+                        key,
+                        gc.to_wkt(boundary_of(poly)),
+                        gc.to_wkt(boundary_of(open_line)),
+                        gc.to_wkt(boundary_of(ring_line)),
+                        float(ip.parts[0, 0]),
+                        float(ip.parts[0, 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["n_nationkey", "boundary_wkt", "line_boundary_wkt",
+                         "ring_boundary_wkt", "ix", "iy"],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_BOUNDARY_INTERIOR_SQL = """
+WITH p AS (
+  SELECT n_nationkey,
+         (n_nationkey*3)%40 AS x0, (n_nationkey*7)%40 AS y0,
+         4 + n_nationkey%5 AS s
+  FROM nation),
+w AS (
+  SELECT *,
+    '(' || x0 || ' ' || y0 || ', ' || (x0+s) || ' ' || y0 || ', '
+        || (x0+s) || ' ' || (y0+s) || ', ' || x0 || ' ' || (y0+s) || ', '
+        || x0 || ' ' || y0 || ')' AS shell,
+    '(' || (x0+1) || ' ' || (y0+1) || ', ' || (x0+s-1) || ' ' || (y0+1) || ', '
+        || (x0+s-1) || ' ' || (y0+s-1) || ', ' || (x0+1) || ' ' || (y0+s-1) || ', '
+        || (x0+1) || ' ' || (y0+1) || ')' AS hole
+  FROM p)
+SELECT n_nationkey,
+  CASE WHEN n_nationkey % 2 = 0 THEN 'LINEARRING ' || shell
+       ELSE 'MULTILINESTRING (' || shell || ', ' || hole || ')' END AS boundary_wkt,
+  'MULTIPOINT ((' || x0 || ' ' || y0 || '), (' || (x0+s) || ' ' || (y0+s) || '))'
+    AS line_boundary_wkt,
+  'MULTIPOINT EMPTY' AS ring_boundary_wkt,
+  CASE WHEN n_nationkey % 2 = 0 THEN x0 + s/2.0 ELSE x0 + 0.5 END AS ix,
+  (y0 + s/2.0)::DOUBLE AS iy
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# concave hull (core.clj:324-331): ratio=1 degenerates to convex hull
+# ---------------------------------------------------------------------------
+
+def q_concave_hull(spark, sf_dir) -> DataFrame:
+    """concave-hull-of at length_ratio=1 through the real kernel
+    (geom/hull.py; semantics core.clj:324-331 — 'A value of 1 produces
+    the convex hull'): box corners + strictly-interior points → hull
+    is exactly the box (area s², 4 vertices).  The ratio<1 Delaunay +
+    erosion path is covered by pytest goldens (tests/test_relate_hull)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(k.alias("n_nationkey"), (10 + k % 7).cast("long").alias("s"))
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("hull_area", DoubleType()),
+            StructField("hull_vertices", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.hull import concave_hull
+        from .geom.ops import area
+
+        for pdf in batches:
+            rows = []
+            for key, s in zip(pdf["n_nationkey"], pdf["s"]):
+                s = int(s)
+                pts = [(0.0, 0.0), (float(s), 0.0), (float(s), float(s)), (0.0, float(s))]
+                pts += [
+                    (1.0 + (key * 3 + i) % (s - 1), 1.0 + (key * 7 + i) % (s - 1))
+                    for i in range(12)
+                ]
+                hull = concave_hull(gc.multi_point(pts), 1.0)
+                rows.append((key, round(area(hull), 6), len(hull.parts[0]) - 1))
+            yield pd.DataFrame(rows, columns=["n_nationkey", "hull_area", "hull_vertices"])
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_CONCAVE_HULL_SQL = """
+SELECT n_nationkey,
+       ROUND(((10 + n_nationkey%7) * (10 + n_nationkey%7))::DOUBLE, 6) AS hull_area,
+       4::BIGINT AS hull_vertices
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# node-with-others + connect-faces (noder.clj:90-185)
+# ---------------------------------------------------------------------------
+
+def q_noder_connect(spark, sf_dir) -> DataFrame:
+    """Network connectors through the real kernels (geom/noding.py
+    node_with_others + connect_faces; semantics noder.clj:90-185 and
+    the noder_test.clj fixtures).
+
+    Case A (default closest-points connect): horizontal line (0,0)-(L,0)
+    + a point (px,py) above it → the line splits at (px,0) and a
+    connector (px,0)-(px,py) is added; all coords integer → the three
+    result WKTs and the mapping point are closed-form.
+
+    Case B (connect_faces(2,1)): line (0,0)-(M,0) + a square
+    (a,1)..(a+w,1+w); all faces have length w ≥ 2, the bottom-face
+    midpoint (a+w/2, 1) is nearest (d=1 = straight distance, within
+    tolerance) → connector lands mid-face, mapping = (a+w/2, 1)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        (10 + k % 5).cast("long").alias("l"),
+        (3 + k % 4).cast("long").alias("px"),
+        (2 + k % 3).cast("long").alias("py"),
+        (20 + k % 5).cast("long").alias("m"),
+        (5 + k % 6).cast("long").alias("a"),
+        (2 + k % 3).cast("long").alias("w"),
+    )
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("lines_sorted", StringType()),
+            StructField("map_x", DoubleType()),
+            StructField("map_y", DoubleType()),
+            StructField("n_lines_faces", LongType()),
+            StructField("map2_x", DoubleType()),
+            StructField("map2_y", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.noding import connect_faces, node_with_others
+
+        for pdf in batches:
+            rows = []
+            for key, l, px, py, m, a, w in zip(
+                pdf["n_nationkey"], pdf["l"], pdf["px"], pdf["py"],
+                pdf["m"], pdf["a"], pdf["w"],
+            ):
+                l, px, py, m, a, w = int(l), int(px), int(py), int(m), int(a), int(w)
+                # case A: plain nearest-point connect
+                lines = [gc.from_wkt(f"LINESTRING (0 0, {l} 0)")]
+                others = [gc.point(float(px), float(py))]
+                out_lines, mapping = node_with_others(lines, others)
+                wkts = ";".join(sorted(gc.to_wkt(g) for g in out_lines))
+                mp = mapping[0]
+                # case B: connect-faces(face_length=2, tolerance=1)
+                lines2 = [gc.from_wkt(f"LINESTRING (0 0, {m} 0)")]
+                square = gc.from_wkt(
+                    f"POLYGON (({a} 1, {a+w} 1, {a+w} {1+w}, {a} {1+w}, {a} 1))"
+                )
+                out2, mapping2 = node_with_others(
+                    lines2, [square], connect=lambda li, tg: connect_faces(2.0, 1.0, li, tg)
+                )
+                mp2 = mapping2[0]
+                rows.append(
+                    (
+                        key,
+                        wkts,
+                        float(mp.parts[0, 0]),
+                        float(mp.parts[0, 1]),
+                        len(out2),
+                        float(mp2.parts[0, 0]),
+                        float(mp2.parts[0, 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["n_nationkey", "lines_sorted", "map_x", "map_y",
+                         "n_lines_faces", "map2_x", "map2_y"],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_NODER_CONNECT_SQL = """
+WITH p AS (
+  SELECT n_nationkey,
+         10 + n_nationkey%5 AS l,
+         3 + n_nationkey%4 AS px,
+         2 + n_nationkey%3 AS py,
+         20 + n_nationkey%5 AS m,
+         5 + n_nationkey%6 AS a,
+         2 + n_nationkey%3 AS w
+  FROM nation)
+SELECT n_nationkey,
+  array_to_string(list_sort([
+    'LINESTRING (0 0, ' || px || ' 0)',
+    'LINESTRING (' || px || ' 0, ' || l || ' 0)',
+    'LINESTRING (' || px || ' 0, ' || px || ' ' || py || ')'
+  ]), ';') AS lines_sorted,
+  px::DOUBLE AS map_x,
+  py::DOUBLE AS map_y,
+  3::BIGINT AS n_lines_faces,
+  (a + w/2.0)::DOUBLE AS map2_x,
+  1.0::DOUBLE AS map2_y
+FROM p
+"""
