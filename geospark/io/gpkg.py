@@ -567,6 +567,31 @@ def amend_gpkg(
                 f'DELETE FROM "{table}" WHERE rowid NOT IN '
                 f"(SELECT {key} FROM __amend WHERE {key} IS NOT NULL)"
             )
+        if method in ("outer-join", "right-join"):
+            # pre-bump the autoincrement sequence past the largest
+            # unmatched SINGULAR source key: the duplicate-multiply step
+            # below (and the NULL-fid rows of the unmatched insert)
+            # mint autoincrement fids, and without the bump one of them
+            # can equal an explicit unmatched key inserted moments
+            # later (fids 1-3 + multiply mints 4,5 + unmatched key 5
+            # -> IntegrityError and full rollback)
+            maxk = con.execute(
+                f"SELECT MAX({key}) FROM __amend a WHERE a.__singular = 1 "
+                f"AND a.{key} IS NOT NULL AND a.{key} NOT IN (SELECT k FROM __matched)"
+            ).fetchone()[0]
+            if maxk is not None:
+                cur = con.execute(
+                    "SELECT seq FROM sqlite_sequence WHERE name = ?", (table,)
+                ).fetchone()
+                if cur is None:
+                    con.execute(
+                        "INSERT INTO sqlite_sequence (name, seq) VALUES (?, ?)",
+                        (table, maxk),
+                    )
+                elif cur[0] < maxk:
+                    con.execute(
+                        "UPDATE sqlite_sequence SET seq = ? WHERE name = ?", (maxk, table)
+                    )
         if method in ("left-join", "outer-join", "right-join") and ndup:
             # multiply: insert copies joined with the duplicate rows,
             # then delete the originals (gpkg.clj:1318-1372)

@@ -73,14 +73,28 @@ def estimate_build_bytes(polys: DataFrame, geom_col: str, sample: int = 1000) ->
     n, avg = row["n"], row["a"] or 0.0
     if n <= sample:
         return int(n * (avg + 64))
-    return int(polys.count() * (avg + 64))
+    # large table: exact count (metadata-cheap on parquet), then a
+    # RANDOM sample for the average — a limit() prefix is ordered, and
+    # size-skewed tables (small geometries first) would under-estimate
+    # straight through the gate this function exists to enforce
+    cnt = polys.count()
+    frac = min(1.0, (10.0 * sample) / max(cnt, 1))
+    srow = (
+        polys.select(F.length(F.col(geom_col)).alias("l"))
+        .sample(fraction=frac, seed=7)
+        .agg(F.avg("l").alias("a"))
+        .collect()[0]
+    )
+    avg = srow["a"] if srow["a"] is not None else avg
+    return int(cnt * (avg + 64))
 
 
 def _prepared(key, wkb: bytes) -> gpred.PreparedPolygon:
-    # key must include the geometry content: python workers are reused
-    # across jobs, and a bare poly_id collides between different
-    # polygon tables (process-local `hash` is fine for a local cache)
-    full_key = (key, len(wkb), hash(bytes(wkb)))
+    # key on the WKB bytes themselves: python workers are reused across
+    # jobs and a bare poly_id collides between different polygon tables;
+    # dict keying on bytes hashes internally AND compares content on
+    # collision, so two different payloads can never alias
+    full_key = (key, bytes(wkb))
     pp = _PREP_CACHE.get(full_key)
     if pp is None:
         if len(_PREP_CACHE) >= _PREP_CACHE_MAX:
@@ -157,10 +171,11 @@ def pip_join(
         level = choose_level(polys, poly_geom, grid)
 
     spark = points.sparkSession
-    if broadcast is not False:
-        # size-gate the collect-based plan: both the None default and an
-        # explicit True fall back to the shuffle cell-join when the
-        # estimated build side won't fit a driver/executor broadcast
+    if broadcast is None:
+        # size-gate the collect-based plan ONLY for the default: an
+        # explicit True from a caller who knows the build side is small
+        # is honored (and skips the estimate job); explicit False keeps
+        # the shuffle cell-join
         broadcast = estimate_build_bytes(polys, poly_geom) <= broadcast_threshold
 
     build = polys.select(
@@ -289,7 +304,8 @@ def predicate_join(
     """
     if level is None:
         level = choose_level(right, right_geom, grid)
-    if broadcast is not False:
+    if broadcast is None:
+        # gate only the default; explicit True/False is the caller's call
         broadcast = estimate_build_bytes(right, right_geom) <= broadcast_threshold
     if broadcast:
         return _predicate_join_broadcast(
@@ -322,17 +338,18 @@ def predicate_join(
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # decode each right geometry ONCE per contiguous slice (argsort
         # by __rid, the pip_join refine pattern at the `bounds` trick
-        # above), cache decoded left geoms per batch, and envelope-
-        # prefilter before the exact kernel — every supported predicate
-        # requires at least one shared point, so disjoint bboxes decide
-        # false without touching the geometry kernels.
+        # above), decode each left geometry once per batch, and run the
+        # envelope prefilter as ONE numpy comparison per slice — the
+        # exact kernel touches only bbox survivors (every supported
+        # predicate requires a shared point, so disjoint bboxes decide
+        # false without the geometry kernels).
         geom_cache: dict = {}
 
-        def decoded(side, rowid, wkb):
-            # key must include the geometry content: ids need not be
-            # unique across input rows (same rule as _prepared above)
+        def decoded(side, wkb):
+            # key on the bytes themselves (content-compared on hash
+            # collision — same rule as _prepared above)
             b = bytes(wkb)
-            key = (side, rowid, len(b), hash(b))
+            key = (side, b)
             g = geom_cache.get(key)
             if g is None:
                 if len(geom_cache) >= _PREP_CACHE_MAX:
@@ -352,25 +369,31 @@ def predicate_join(
             lwkb_s = pdf["__lwkb"].to_numpy()[order]
             rwkb_s = pdf["__rwkb"].to_numpy()[order]
             bounds = np.flatnonzero(np.r_[True, rid_s[1:] != rid_s[:-1], True])
+            # batch-wide left envelope columns; empties get an inverted
+            # box so the vectorized overlap test excludes them
+            lgeoms = [None if w is None else decoded("l", w) for w in lwkb_s]
+            lenv = np.empty((n, 4), dtype=np.float64)
+            for i, g in enumerate(lgeoms):
+                if g is None or g.is_empty():
+                    lenv[i] = (np.inf, np.inf, -np.inf, -np.inf)
+                else:
+                    lenv[i] = g.envelope()
+            lx0, ly0, lx1, ly1 = lenv[:, 0], lenv[:, 1], lenv[:, 2], lenv[:, 3]
             keep_l, keep_r = [], []
             for s, e in zip(bounds[:-1], bounds[1:]):
-                gb = decoded("r", rid_s[s], rwkb_s[s])
+                if rwkb_s[s] is None:
+                    continue
+                gb = decoded("r", rwkb_s[s])
                 if gb.is_empty():
                     continue
-                benv = gb.envelope()
-                for i in range(s, e):
-                    ga = decoded("l", lid_s[i], lwkb_s[i])
-                    if ga.is_empty():
-                        continue
-                    aenv = ga.envelope()
-                    if aenv and benv and (
-                        aenv[2] < benv[0]
-                        or benv[2] < aenv[0]
-                        or aenv[3] < benv[1]
-                        or benv[3] < aenv[1]
-                    ):
-                        continue
-                    if fn(ga, gb):
+                bx0, by0, bx1, by1 = gb.envelope()
+                sl = slice(s, e)
+                ok = ~(
+                    (lx1[sl] < bx0) | (bx1 < lx0[sl])
+                    | (ly1[sl] < by0) | (by1 < ly0[sl])
+                )
+                for i in np.flatnonzero(ok) + s:
+                    if fn(lgeoms[i], gb):
                         keep_l.append(lid_s[i])
                         keep_r.append(rid_s[i])
             if keep_l:
@@ -397,7 +420,13 @@ def _predicate_join_broadcast(
     from ..cells.coverage import cover_geometry
 
     fn = _PRED_FNS[predicate]
-    rows = [(r[0], bytes(r[1])) for r in right.select(right_id, right_geom).collect()]
+    # NULL geometries can never satisfy a predicate — skip them here
+    # (the shuffle path and pip_join tolerate them the same way)
+    rows = [
+        (r[0], bytes(r[1]))
+        for r in right.select(right_id, right_geom).collect()
+        if r[1] is not None
+    ]
     rids, geoms, envs = [], [], []
     cell_map = defaultdict(list)
     for rid, wkb in rows:
@@ -412,11 +441,25 @@ def _predicate_join_broadcast(
         rids.append(rid)
         geoms.append(wkb)
         envs.append(g.envelope())
+    # CSR layout: sorted cell keys + concatenated member slices — lets
+    # the probe resolve EVERY (row, cell) lookup of a batch with one
+    # np.searchsorted instead of a python dict probe per cell
+    sorted_cells = sorted(cell_map)
+    cell_keys = np.asarray(sorted_cells, dtype=np.int64)
+    counts = np.asarray([len(cell_map[c]) for c in sorted_cells], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    members = (
+        np.concatenate([np.asarray(cell_map[c], dtype=np.int32) for c in sorted_cells])
+        if sorted_cells
+        else np.empty(0, dtype=np.int32)
+    )
     index = {
         "rids": rids,
         "wkbs": geoms,
-        "envs": envs,
-        "cells": {c: np.asarray(v, dtype=np.int32) for c, v in cell_map.items()},
+        "envs": np.asarray(envs, dtype=np.float64).reshape(-1, 4),
+        "cell_keys": cell_keys,
+        "starts": starts,
+        "members": members,
     }
     bc = left.sparkSession.sparkContext.broadcast(index)
 
@@ -427,44 +470,89 @@ def _predicate_join_broadcast(
             StructField("right_id", right.schema[right_id].dataType),
         ]
     )
+    nside = 1 << level
+    inv = nside / grid.span
+    gx0, gy0 = grid.x0, grid.y0
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..cells.cellid import pack
+
         idx = bc.value
-        cells_map = idx["cells"]
         wkbs = idx["wkbs"]
-        envs = idx["envs"]
+        benvs = idx["envs"]
         rids_ = idx["rids"]
+        keys = idx["cell_keys"]
+        starts_ = idx["starts"]
+        members_ = idx["members"]
         geom_cache: dict = {}
         for pdf in batches:
+            nrows = len(pdf)
+            if nrows == 0 or len(keys) == 0:
+                continue
+            lids = pdf["__lid"].to_numpy()
+            lwkbs = pdf["__lwkb"].to_numpy()
+            lgeoms = []
+            lenv = np.empty((nrows, 4), dtype=np.float64)
+            for i, lw in enumerate(lwkbs):
+                g = None if lw is None else gc.from_wkb(bytes(lw))
+                lgeoms.append(g)
+                if g is None or g.is_empty():
+                    lenv[i] = (np.inf, np.inf, -np.inf, -np.inf)
+                else:
+                    lenv[i] = g.envelope()
+            # vectorized bbox→cell ranges, flat (row, cell) expansion
+            ix0 = np.clip(np.floor((lenv[:, 0] - gx0) * inv), 0, nside - 1).astype(np.int64)
+            ix1 = np.clip(np.floor((lenv[:, 2] - gx0) * inv), 0, nside - 1).astype(np.int64)
+            iy0 = np.clip(np.floor((lenv[:, 1] - gy0) * inv), 0, nside - 1).astype(np.int64)
+            iy1 = np.clip(np.floor((lenv[:, 3] - gy0) * inv), 0, nside - 1).astype(np.int64)
+            empty_mask = ~np.isfinite(lenv[:, 0])
+            ny = iy1 - iy0 + 1
+            cnt = np.where(empty_mask, 0, (ix1 - ix0 + 1) * ny)
+            cum = np.cumsum(cnt)
+            total = int(cum[-1])
+            if total == 0:
+                continue
+            row = np.repeat(np.arange(nrows, dtype=np.int64), cnt)
+            j = np.arange(total, dtype=np.int64) - np.repeat(cum - cnt, cnt)
+            cells = pack(ix0[row] + j // ny[row], iy0[row] + j % ny[row], level).view(np.int64)
+            # batched index lookup: searchsorted + equality mask
+            pos = np.searchsorted(keys, cells)
+            pos = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos] == cells
+            hrow, hpos = row[hit], pos[hit]
+            # expand each hit cell's member slice → flat (row, member)
+            mcnt = starts_[hpos + 1] - starts_[hpos]
+            mtotal = int(mcnt.sum())
+            if mtotal == 0:
+                continue
+            mrow = np.repeat(hrow, mcnt)
+            moff = np.arange(mtotal, dtype=np.int64) - np.repeat(
+                np.cumsum(mcnt) - mcnt, mcnt
+            )
+            midx = members_[np.repeat(starts_[hpos], mcnt) + moff].astype(np.int64)
+            # dedupe (row, member) pairs from multi-cell hits
+            pairkey = mrow * np.int64(len(rids_)) + midx
+            uniq = np.unique(pairkey)
+            urow = (uniq // len(rids_)).astype(np.int64)
+            umem = (uniq % len(rids_)).astype(np.int64)
+            # vectorized envelope prefilter
+            a = lenv[urow]
+            b = benvs[umem]
+            ok = ~(
+                (a[:, 2] < b[:, 0]) | (b[:, 2] < a[:, 0])
+                | (a[:, 3] < b[:, 1]) | (b[:, 3] < a[:, 1])
+            )
             keep_l, keep_r = [], []
-            for lid, lw in zip(pdf["__lid"], pdf["__lwkb"]):
-                ga = gc.from_wkb(lw)
-                if ga.is_empty():
-                    continue
-                aenv = ga.envelope()
-                cand_ids: set = set()
-                for cid in grid.cover_bbox(aenv[0], aenv[1], aenv[2], aenv[3], level):
-                    hits = cells_map.get(int(cid))
-                    if hits is not None:
-                        cand_ids.update(int(h) for h in hits)
-                for i in cand_ids:
-                    benv = envs[i]
-                    if (
-                        aenv[2] < benv[0]
-                        or benv[2] < aenv[0]
-                        or aenv[3] < benv[1]
-                        or benv[3] < aenv[1]
-                    ):
-                        continue
-                    gb = geom_cache.get(i)
-                    if gb is None:
-                        if len(geom_cache) >= _PREP_CACHE_MAX:
-                            geom_cache.clear()
-                        gb = gc.from_wkb(wkbs[i])
-                        geom_cache[i] = gb
-                    if fn(ga, gb):
-                        keep_l.append(lid)
-                        keep_r.append(rids_[i])
+            for r_, m_ in zip(urow[ok], umem[ok]):
+                gb = geom_cache.get(m_)
+                if gb is None:
+                    if len(geom_cache) >= _PREP_CACHE_MAX:
+                        geom_cache.clear()
+                    gb = gc.from_wkb(wkbs[m_])
+                    geom_cache[m_] = gb
+                if fn(lgeoms[r_], gb):
+                    keep_l.append(lids[r_])
+                    keep_r.append(rids_[m_])
             if keep_l:
                 yield pd.DataFrame({"left_id": keep_l, "right_id": keep_r})
 

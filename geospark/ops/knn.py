@@ -46,13 +46,19 @@ def _env_cells_udf(grid: CellGrid, level: int):
         ix1 = np.clip(np.floor((xmax.to_numpy(np.float64) - grid.x0) * inv), 0, n - 1).astype(np.int64)
         iy0 = np.clip(np.floor((ymin.to_numpy(np.float64) - grid.y0) * inv), 0, n - 1).astype(np.int64)
         iy1 = np.clip(np.floor((ymax.to_numpy(np.float64) - grid.y0) * inv), 0, n - 1).astype(np.int64)
-        out = []
-        for a, b, c, d in zip(ix0, ix1, iy0, iy1):
-            xs = np.arange(a, b + 1, dtype=np.int64)
-            ys = np.arange(c, d + 1, dtype=np.int64)
-            IX, IY = np.meshgrid(xs, ys, indexing="ij")
-            out.append(pack(IX.ravel(), IY.ravel(), level).tolist())
-        return pd.Series(out)
+        # flat construction, no per-row python loop: element j of row r
+        # is cell (ix0[r] + j // ny[r], iy0[r] + j % ny[r]); ONE pack()
+        # call over every cell of every row, then split at row offsets
+        ny = iy1 - iy0 + 1
+        cnt = (ix1 - ix0 + 1) * ny
+        cum = np.cumsum(cnt)
+        total = int(cum[-1]) if len(cum) else 0
+        row = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        j = np.arange(total, dtype=np.int64) - np.repeat(cum - cnt, cnt)
+        xs = ix0[row] + j // ny[row]
+        ys = iy0[row] + j % ny[row]
+        cells = pack(xs, ys, level)
+        return pd.Series(np.split(cells, cum[:-1]))
 
     return env_cells
 

@@ -189,6 +189,24 @@ class TestAmend:
         )
         assert self._rows(path) == [(None, "NEW"), (10, "A")]
 
+    def test_outer_join_multiply_fid_collision(self, spark, tmp_path):
+        # regression (round-3 advice): duplicate key 2 multiplied twice
+        # mints autoincrement fids 4,5; the unmatched singular key 5
+        # must not collide with them (sequence pre-bumped past 5)
+        path = self._mk(spark, tmp_path, "ojc")  # fids 1..3
+        gpkg.amend_gpkg(
+            pd.DataFrame({"rowid": [2, 2, 5], "v": ["B1", "B2", "NEW"]}),
+            path,
+            "t",
+            method="outer-join",
+        )
+        rows = self._rows(path)
+        assert rows == [(None, "NEW"), (10, "a"), (20, "B1"), (20, "B2"), (30, "c")]
+        con = sqlite3.connect(path)
+        fid = con.execute("SELECT fid FROM t WHERE v = 'NEW'").fetchone()[0]
+        con.close()
+        assert fid == 5  # the explicit singular key survived
+
     def test_amend_streams_spark_df(self, spark, tmp_path):
         # the Spark-DataFrame input path (toLocalIterator, no toPandas)
         path = self._mk(spark, tmp_path, "sdf")
