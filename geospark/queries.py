@@ -668,6 +668,135 @@ FROM px GROUP BY media_id
 """
 
 
+def q_audio_features(spark, sf_dir) -> DataFrame:
+    """Audio decode+feature plumbing (multimodal/media.py
+    audio_features) with the fake codec: sample t of clip id is
+    ((t*37 + S) % 2048) - 1024, S = Σ sha256('aud-id') bytes — mean
+    |amplitude| and zero-crossing count are exact integer arithmetic
+    the oracle replays per-sample."""
+    from .multimodal.media import audio_features, fake_audio_payload
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("long").alias("media_id"))
+    gen_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                sr = 8000 + (i % 3) * 4000
+                ns = 1000 + (i * 13) % 500
+                rows.append((i, fake_audio_payload(i, sr, ns)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = n.mapInPandas(gen, schema=gen_schema)
+    out = audio_features(media, codec="fake")
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        "zero_crossings",
+    )
+
+
+Q_AUDIO_SQL = """
+WITH ids AS (
+  SELECT n_nationkey::BIGINT AS media_id,
+         (8000 + (n_nationkey % 3) * 4000)::BIGINT AS sample_rate,
+         (1000 + (n_nationkey * 13) % 500)::BIGINT AS n_samples,
+         list_sum(list_transform(range(0, 32),
+           i -> ('0x' || substring(sha256('aud-' || n_nationkey), i*2 + 1, 2))::BIGINT)) AS s
+  FROM nation),
+samples AS (
+  SELECT media_id, sample_rate, n_samples, t,
+         ((t*37 + s) % 2048) - 1024 AS v
+  FROM ids, range(0, 1500) tt(t) WHERE t < n_samples),
+signs AS (
+  SELECT media_id, t, CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sg
+  FROM samples WHERE v <> 0),
+trans AS (
+  SELECT media_id,
+         COUNT(*) FILTER (WHERE prev IS NOT NULL AND sg <> prev) AS zc
+  FROM (SELECT media_id, sg, lag(sg) OVER (PARTITION BY media_id ORDER BY t) AS prev
+        FROM signs)
+  GROUP BY media_id)
+SELECT i.media_id, i.sample_rate, i.n_samples,
+       ROUND(AVG(ABS(sm.v)), 6) AS mean_abs,
+       COALESCE(MAX(tr.zc), 0)::BIGINT AS zero_crossings
+FROM ids i
+JOIN samples sm ON sm.media_id = i.media_id
+LEFT JOIN trans tr ON tr.media_id = i.media_id
+GROUP BY i.media_id, i.sample_rate, i.n_samples
+"""
+
+
+def q_frame_sample(spark, sf_dir) -> DataFrame:
+    """Video frame-sampling plumbing (multimodal/media.py
+    frame_sample): every 7th frame of each fake clip, one output row
+    per sampled frame with its exact mean luma — pixel (r,c) of frame
+    f is ((r*31)%256 + (c*17)%256 + f*101 + S) % 256, S = Σ
+    sha256('vid-id') bytes."""
+    from .multimodal.media import fake_video_payload, frame_sample
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("long").alias("media_id"))
+    gen_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                w = 16 + (i * 5) % 17
+                h = 16 + (i * 11) % 13
+                nf = 20 + (i * 7) % 30
+                rows.append((i, fake_video_payload(i, w, h, nf)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = n.mapInPandas(gen, schema=gen_schema)
+    out = frame_sample(media, every_n=7, codec="fake")
+    return out.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+Q_FRAME_SQL = """
+WITH ids AS (
+  SELECT n_nationkey::BIGINT AS media_id,
+         (16 + (n_nationkey * 5) % 17)::BIGINT AS w,
+         (16 + (n_nationkey * 11) % 13)::BIGINT AS h,
+         (20 + (n_nationkey * 7) % 30)::BIGINT AS nf,
+         list_sum(list_transform(range(0, 32),
+           i -> ('0x' || substring(sha256('vid-' || n_nationkey), i*2 + 1, 2))::BIGINT)) AS s
+  FROM nation),
+frames AS (
+  SELECT media_id, w, h, s, f
+  FROM ids, range(0, 50) ff(f)
+  WHERE f < nf AND f % 7 = 0),
+px AS (
+  SELECT media_id, w, h, f,
+         ((r*31) % 256 + (c*17) % 256 + f*101 + s) % 256 AS luma
+  FROM frames, range(0, 33) t1(r), range(0, 33) t2(c)
+  WHERE r < h AND c < w)
+SELECT media_id, f AS frame_idx, MAX(w)::BIGINT AS width, MAX(h)::BIGINT AS height,
+       ROUND(AVG(luma), 6) AS mean_luma
+FROM px GROUP BY media_id, f
+"""
+
+
 def q_sessions(spark, sf_dir) -> DataFrame:
     """Sessionization (30-min gap) through the batch twin of the
     applyInPandasWithState streaming operator (streaming/sessions.py;
@@ -1171,6 +1300,8 @@ def registry() -> Dict[str, Callable]:
         "concave_hull": q_concave_hull,
         "noder_connect": q_noder_connect,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1248,4 +1379,6 @@ def oracles() -> Dict[str, str]:
         "concave_hull": Q_CONCAVE_HULL_SQL,
         "noder_connect": Q_NODER_CONNECT_SQL,
         "media_features": Q_MEDIA_SQL,
+        "audio_features": Q_AUDIO_SQL,
+        "frame_sample": Q_FRAME_SQL,
     }

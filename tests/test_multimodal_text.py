@@ -222,3 +222,62 @@ def test_lsh_recall_and_selectivity(spark):
     n_cand = lsh_topk(qdf, c, k=None, qid="qid", cid="cid", dim=dim).count()
     frac = n_cand / (n_q * len(corpus))
     assert frac < 0.05, frac
+
+
+def test_audio_features_fake_codec(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from geospark.multimodal.media import (
+        audio_features,
+        decode_audio,
+        fake_audio_payload,
+    )
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0, 1, 2],
+                "payload": [fake_audio_payload(i, 8000, 100 + i * 50) for i in range(3)],
+            }
+        )
+    )
+    out = audio_features(media, codec="fake").toPandas().sort_values("media_id")
+    assert list(out["n_samples"]) == [100, 150, 200]
+    assert (out["sample_rate"] == 8000).all()
+    # cross-check one clip against a direct decode
+    sr, s = decode_audio(fake_audio_payload(1, 8000, 150), codec="fake")
+    s64 = s.astype(np.int64)
+    assert abs(out[out.media_id == 1]["mean_abs"].iloc[0] - np.abs(s64).mean()) < 1e-9
+    # stub path raises
+    with pytest.raises(NotImplementedError):
+        decode_audio(fake_audio_payload(0, 8000, 10), codec="stub")
+
+
+def test_frame_sample_fake_codec(spark):
+    import pandas as pd
+    import pytest
+
+    from geospark.multimodal.media import (
+        decode_frame,
+        fake_video_payload,
+        frame_sample,
+    )
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [0], "payload": [fake_video_payload(0, 8, 4, 25)]}
+        )
+    )
+    out = frame_sample(media, every_n=10, codec="fake").toPandas()
+    assert sorted(out["frame_idx"]) == [0, 10, 20]  # every 10th of 25
+    assert (out["width"] == 8).all() and (out["height"] == 4).all()
+    f10 = decode_frame(fake_video_payload(0, 8, 4, 25), 10, codec="fake")
+    assert abs(
+        out[out.frame_idx == 10]["mean_luma"].iloc[0] - f10.astype("int64").mean()
+    ) < 1e-9
+    with pytest.raises(IndexError):
+        decode_frame(fake_video_payload(0, 8, 4, 25), 25, codec="fake")
+    with pytest.raises(ValueError):
+        frame_sample(media, every_n=0, codec="fake")
