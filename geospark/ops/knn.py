@@ -77,6 +77,7 @@ def knn_join(
     bx: str = "x",
     by: str = "y",
     grid: CellGrid = DEFAULT_GRID,
+    level: Optional[int] = None,
 ) -> DataFrame:
     """For each query (point or geometry): up to n nearest build rows
     within rng.
@@ -85,8 +86,17 @@ def knn_join(
     query side is points (qx/qy) or geometries (query_geom WKB).
     Output: (qid, bid, rect_dist, dist, rank) — rank by true distance
     after the rect-distance top-n cut, per reference semantics.
+
+    n=None: NO top-n cut — every build row whose envelope is within
+    rect distance rng of the query envelope, i.e. the reference's
+    `query` operator (index.clj:106-122; rng=0 → envelope intersects).
+    Output then is (qid, bid, rect_dist) with no python re-rank stage.
     """
-    level = grid.level_for_size(rng)
+    if level is None:
+        # cell ≈ rng keeps the probe cover within the 3×3 k-ring; for
+        # rng=0 range queries pass an explicit level sized to the
+        # typical build envelope instead
+        level = grid.level_for_size(rng)
     env_cells = _env_cells_udf(grid, level)
 
     if query_geom is not None:
@@ -183,6 +193,13 @@ def knn_join(
         .drop("__gx", "__gy")
         .where(F.col("__rect_dist") <= rng)
     )
+
+    if n is None:  # envelope/range query: no cut, no re-rank
+        return cand.select(
+            F.col("__qid").alias(query_id),
+            F.col("__bid").alias(build_id),
+            F.col("__rect_dist").alias("rect_dist"),
+        )
 
     # rect-distance top-n (the R-tree .nearest cut), then true-distance
     # re-rank (index.clj:102-103)

@@ -206,6 +206,47 @@ QUALIFY rank <= 3
 """
 
 
+def q_range_query(spark, sf_dir) -> DataFrame:
+    """Index range/envelope query (reference index.clj:106-122 `query`:
+    all entries whose envelope is within `radius` of the query's
+    envelope) — knn_join with n=None: the same cell cover + equi-join,
+    no top-n cut, no python re-rank stage.  Box↔point rect distance is
+    sqrt of an integer → identical IEEE doubles in both engines."""
+    from .ops.knn import knn_join
+
+    polys = nation_boxes(spark, sf_dir)
+    pts = customer_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("bid"), "x", "y"
+    )
+    out = knn_join(
+        polys.select(F.col("poly_id").alias("qid"), "geom"),
+        pts,
+        n=None,
+        rng=500.0,
+        query_id="qid",
+        query_geom="geom",
+        build_id="bid",
+    )
+    return out.select("qid", "bid", F.round(F.col("rect_dist"), 4).alias("rect_dist"))
+
+
+Q_RANGE_QUERY_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL}),
+boxes AS (
+  SELECT n_nationkey AS qid,
+         ((n_nationkey*773)%18000)::DOUBLE  AS x0,
+         ((n_nationkey*1571)%18000)::DOUBLE AS y0
+  FROM nation),
+d AS (
+  SELECT b.qid, p.c_custkey AS bid,
+         sqrt(GREATEST(0, b.x0 - p.x, p.x - (b.x0+2500)) * GREATEST(0, b.x0 - p.x, p.x - (b.x0+2500))
+            + GREATEST(0, b.y0 - p.y, p.y - (b.y0+2500)) * GREATEST(0, b.y0 - p.y, p.y - (b.y0+2500))) AS dist
+  FROM boxes b, pts p)
+SELECT qid, bid, ROUND(dist, 4) AS rect_dist
+FROM d WHERE dist <= 500
+"""
+
+
 def q_grid(spark, sf_dir) -> DataFrame:
     """make-grid as a pure Catalyst plan (no UDF, no shuffle)."""
     from .ops.tiling import make_grid_df
@@ -1302,6 +1343,7 @@ def registry() -> Dict[str, Callable]:
         "media_features": q_media_features,
         "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
+        "range_query": q_range_query,
     }
 
 
@@ -1381,4 +1423,5 @@ def oracles() -> Dict[str, str]:
         "media_features": Q_MEDIA_SQL,
         "audio_features": Q_AUDIO_SQL,
         "frame_sample": Q_FRAME_SQL,
+        "range_query": Q_RANGE_QUERY_SQL,
     }
