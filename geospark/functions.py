@@ -102,6 +102,25 @@ def st_geometrytype(wkb: pd.Series) -> pd.Series:
     return wkb.map(tag)
 
 
+def _tag_of(b):
+    if b is None or len(b) < 5:
+        return None
+    return struct.unpack_from("<I" if b[0] == 1 else ">I", b, 1)[0] % 1000
+
+
+@F.pandas_udf(BooleanType())
+def st_issingle(wkb: pd.Series) -> pd.Series:
+    # reference single? (core.clj:149-156): point, linestring (incl.
+    # linearring) or polygon — tag read, no decode
+    return wkb.map(lambda b: None if _tag_of(b) is None else _tag_of(b) in (1, 2, 3))
+
+
+@F.pandas_udf(BooleanType())
+def st_ismulti(wkb: pd.Series) -> pd.Series:
+    # reference multi? (core.clj:158-166): multi* or collection
+    return wkb.map(lambda b: None if _tag_of(b) is None else _tag_of(b) in (4, 5, 6, 7))
+
+
 @F.pandas_udf(DoubleType())
 def st_area(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: None if b is None else gops.area(gc.from_wkb(b)))

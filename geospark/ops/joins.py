@@ -58,7 +58,7 @@ _PREP_CACHE_MAX = 4096
 BROADCAST_MAX_BYTES = 256 << 20
 
 
-def estimate_build_bytes(polys: DataFrame, geom_col: str, sample: int = 1000) -> int:
+def estimate_build_bytes(polys: DataFrame, geom_col: str, sample: int = 8192) -> int:
     """Cheap build-side size estimate: row count × sampled avg WKB
     length (+ dict-entry overhead).  ONE job for the common small-dim
     case: count+avg over limit(sample+1) — if the limit wasn't hit the

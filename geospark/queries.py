@@ -247,6 +247,86 @@ FROM d WHERE dist <= 500
 """
 
 
+def q_type_predicates(spark, sf_dir) -> DataFrame:
+    """Typed predicates single?/multi?/empty? + geometry-type over a
+    menagerie of all 7 WKT types plus empties (reference
+    core.clj:120-166) — built through the real WKT→WKB codec, read
+    back via the tag-only kernels (st_geometrytype / st_issingle /
+    st_ismulti / st_isempty, no full decode)."""
+    from .functions import st_geometrytype, st_isempty, st_ismulti, st_issingle
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    wkts = [
+        ("point", "POINT (%d %d)", False),
+        ("line", "LINESTRING (%d %d, %d 9)", False),
+        ("poly", "POLYGON ((%d %d, 9 0, 9 9, %d %d))", True),  # ring closes on (x, y)
+        ("mpoint", "MULTIPOINT ((%d %d), (3 4))", False),
+        ("mline", "MULTILINESTRING ((%d %d, 5 5), (6 6, 7 7))", False),
+        ("mpoly", "MULTIPOLYGON (((%d %d, 9 0, 9 9, %d %d)))", True),
+        ("coll", "GEOMETRYCOLLECTION (POINT (%d %d))", False),
+        ("epoint", "POINT EMPTY", None),
+        ("eline", "LINESTRING EMPTY", None),
+        ("epoly", "POLYGON EMPTY", None),
+    ]
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    src = n.select(k.alias("n_nationkey"), (k % 8).alias("x"), ((k * 3) % 8).alias("y"))
+    gen_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("kind", StringType()),
+            StructField("wkb", BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from .geom import core as gc
+
+        for pdf in batches:
+            rows = []
+            for key, x, y in zip(pdf["n_nationkey"], pdf["x"], pdf["y"]):
+                x, y = int(x), int(y)
+                for kind, tpl, closes in wkts:
+                    if closes is None:
+                        wkt = tpl
+                    elif closes:
+                        wkt = tpl % (x, y, x, y)
+                    else:
+                        wkt = tpl % (x, y) if tpl.count("%d") == 2 else tpl % (x, y, x)
+                    rows.append((key, kind, gc.to_wkb(gc.from_wkt(wkt))))
+            yield pd.DataFrame(rows, columns=["n_nationkey", "kind", "wkb"])
+
+    g = src.mapInPandas(gen, schema=gen_schema)
+    return g.select(
+        "n_nationkey",
+        "kind",
+        st_geometrytype(F.col("wkb")).alias("gtype"),
+        st_issingle(F.col("wkb")).alias("is_single"),
+        st_ismulti(F.col("wkb")).alias("is_multi"),
+        st_isempty(F.col("wkb")).alias("is_empty"),
+    )
+
+
+Q_TYPE_PREDICATES_SQL = """
+WITH kinds(kind, gtype, is_single, is_multi, is_empty) AS (VALUES
+  ('point',  'POINT',              TRUE,  FALSE, FALSE),
+  ('line',   'LINESTRING',         TRUE,  FALSE, FALSE),
+  ('poly',   'POLYGON',            TRUE,  FALSE, FALSE),
+  ('mpoint', 'MULTIPOINT',         FALSE, TRUE,  FALSE),
+  ('mline',  'MULTILINESTRING',    FALSE, TRUE,  FALSE),
+  ('mpoly',  'MULTIPOLYGON',       FALSE, TRUE,  FALSE),
+  ('coll',   'GEOMETRYCOLLECTION', FALSE, TRUE,  FALSE),
+  ('epoint', 'POINT',              TRUE,  FALSE, TRUE),
+  ('eline',  'LINESTRING',         TRUE,  FALSE, TRUE),
+  ('epoly',  'POLYGON',            TRUE,  FALSE, TRUE))
+SELECT n.n_nationkey, k.kind, k.gtype, k.is_single, k.is_multi, k.is_empty
+FROM nation n, kinds k
+"""
+
+
 def q_grid(spark, sf_dir) -> DataFrame:
     """make-grid as a pure Catalyst plan (no UDF, no shuffle)."""
     from .ops.tiling import make_grid_df
@@ -1344,6 +1424,7 @@ def registry() -> Dict[str, Callable]:
         "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
         "range_query": q_range_query,
+        "type_predicates": q_type_predicates,
     }
 
 
@@ -1424,4 +1505,5 @@ def oracles() -> Dict[str, str]:
         "audio_features": Q_AUDIO_SQL,
         "frame_sample": Q_FRAME_SQL,
         "range_query": Q_RANGE_QUERY_SQL,
+        "type_predicates": Q_TYPE_PREDICATES_SQL,
     }
