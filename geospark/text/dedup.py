@@ -191,13 +191,24 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("common"))
         )
     else:
-        l = toks.alias("l")
-        r = toks.alias("r")
-        common = (
-            l.join(r, (F.col("l.tok") == F.col("r.tok")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("common"))
+        # exact form without the token self-join: group each token's
+        # sorted doc list, then the same skew-spread pair explosion as
+        # minhash_lsh_pairs (posexplode → repartition → slice) so one
+        # stop-word's df² pairs don't land in a single task, and the
+        # token pipeline is evaluated once instead of twice
+        tok_groups = (
+            toks.groupBy("tok")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+            .where(F.size("__ids") > 1)
         )
+        first = tok_groups.select(
+            F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
+        ).where(F.col("__i") < F.size("__ids") - 1)
+        pairs = first.repartition("id_a", "__i").select(
+            "id_a",
+            F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias("id_b"),
+        )
+        common = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
     return (
         common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
