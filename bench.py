@@ -95,6 +95,10 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
     headline = [
         "pip_join", "tile_assign", "knn", "dedup_exact", "minhash_pairs",
         "ann_cosine", "text_quality", "events_hourly", "geocode",
+        # round-3 additions: near-dup, ANN index paths, streaming twin,
+        # envelope query, multimodal plumbing
+        "simhash_dups", "cosine_dups", "ann_lsh", "ann_ivf", "sessions",
+        "range_query", "media_features", "audio_features", "frame_sample",
     ]
     for name in headline:
         try:
