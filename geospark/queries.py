@@ -247,6 +247,47 @@ FROM d WHERE dist <= 500
 """
 
 
+def q_raster_roundtrip(spark, sf_dir) -> DataFrame:
+    """raster↔vector materialization (SURVEY §2 tiling; north-star
+    raster↔vector leg): points → per-cell count raster (rasterize,
+    level 12) → threshold → cell polygons (vectorize).  The quadtree
+    grid is power-of-two ([-2^20, 3·2^20), span 2^22), so cell index
+    and bounds are EXACT integer arithmetic: ix = (x + 2^20) // 1024
+    at level 12 — closed-form in SQL."""
+    from .functions import st_envelope
+    from .ops.tiling import rasterize, vectorize
+
+    pts = customer_points(spark, sf_dir)
+    r = rasterize(pts, None, level=12, agg="count")
+    v = vectorize(r, threshold=2.0, level=12)
+    return v.select(
+        "ix",
+        "iy",
+        F.col("value").cast("long").alias("value"),
+        st_envelope(F.col("geom")).alias("__e"),
+    ).select(
+        "ix", "iy", "value",
+        F.col("__e.xmin").alias("xmin"), F.col("__e.ymin").alias("ymin"),
+        F.col("__e.xmax").alias("xmax"), F.col("__e.ymax").alias("ymax"),
+    )
+
+
+Q_RASTER_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL}),
+cells AS (
+  SELECT ((x::BIGINT + 1048576) // 1024) AS ix,
+         ((y::BIGINT + 1048576) // 1024) AS iy,
+         COUNT(*) AS value
+  FROM pts GROUP BY 1, 2)
+SELECT ix, iy, value,
+       (-1048576 + ix * 1024)::DOUBLE AS xmin,
+       (-1048576 + iy * 1024)::DOUBLE AS ymin,
+       (-1048576 + (ix + 1) * 1024)::DOUBLE AS xmax,
+       (-1048576 + (iy + 1) * 1024)::DOUBLE AS ymax
+FROM cells WHERE value >= 2
+"""
+
+
 def q_type_predicates(spark, sf_dir) -> DataFrame:
     """Typed predicates single?/multi?/empty? + geometry-type over a
     menagerie of all 7 WKT types plus empties (reference
@@ -1425,6 +1466,7 @@ def registry() -> Dict[str, Callable]:
         "frame_sample": q_frame_sample,
         "range_query": q_range_query,
         "type_predicates": q_type_predicates,
+        "raster_roundtrip": q_raster_roundtrip,
     }
 
 
@@ -1506,4 +1548,5 @@ def oracles() -> Dict[str, str]:
         "frame_sample": Q_FRAME_SQL,
         "range_query": Q_RANGE_QUERY_SQL,
         "type_predicates": Q_TYPE_PREDICATES_SQL,
+        "raster_roundtrip": Q_RASTER_SQL,
     }
