@@ -25,14 +25,16 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..cells.cellid import DEFAULT_GRID, CellGrid
 from ..cells.coverage import cover_geometry
-from ..extract.geocode import BBOX_RE, GEO_RE, extract_text_pd
+from ..extract.geocode import GEO_RE
 from ..geom import core as gc
 from ..geom import predicates as gpred
 
 
 def build_cell_index(polys_rows, grid: CellGrid, level: int):
-    """cell id → int32 indexes into the polygon arrays (driver-side;
-    result is broadcast)."""
+    """cell id → int32 indexes into the polygon arrays, in CSR layout
+    (sorted keys + member slices) so the probe resolves every cell of
+    a batch with ONE np.searchsorted (driver-side; result is
+    broadcast)."""
     pids = []
     wkbs = []
     cell_map = defaultdict(list)
@@ -42,12 +44,66 @@ def build_cell_index(polys_rows, grid: CellGrid, level: int):
             cell_map[int(cid)].append(i)
         pids.append(pid)
         wkbs.append(wkb)
+    sorted_cells = sorted(cell_map)
+    counts = np.asarray([len(cell_map[c]) for c in sorted_cells], dtype=np.int64)
     return {
         "pids": np.asarray(pids),
         "wkbs": wkbs,
-        "cells": {c: np.asarray(v, dtype=np.int32) for c, v in cell_map.items()},
+        "cell_keys": np.asarray(sorted_cells, dtype=np.int64),
+        "starts": np.concatenate([[0], np.cumsum(counts)]),
+        "members": (
+            np.concatenate(
+                [np.asarray(cell_map[c], dtype=np.int32) for c in sorted_cells]
+            )
+            if sorted_cells
+            else np.empty(0, dtype=np.int32)
+        ),
         "level": level,
     }
+
+
+def _gather_poly_points(pcells, keys, starts, members):
+    """Vectorized candidate gather: for every point whose cell hits the
+    index, pair it with each member polygon of that cell.  Returns
+    (poly_sorted, point_sorted, slice_bounds): candidate pairs grouped
+    into contiguous per-polygon slices — no python loop over cells."""
+    order = np.argsort(pcells, kind="stable")
+    pcells_s = pcells[order]
+    bnds = np.flatnonzero(np.r_[True, pcells_s[1:] != pcells_s[:-1], True])
+    ucells = pcells_s[bnds[:-1]]
+    pt_cnt = np.diff(bnds)
+    pos = np.searchsorted(keys, ucells)
+    if len(keys):
+        pos = np.minimum(pos, len(keys) - 1)
+        valid = keys[pos] == ucells
+    else:
+        valid = np.zeros(len(ucells), dtype=bool)
+    vpos = pos[valid]
+    vstart = bnds[:-1][valid]
+    vcnt = pt_cnt[valid]
+    # (cell, member) pair expansion
+    mcnt = starts[vpos + 1] - starts[vpos]
+    P = int(mcnt.sum())
+    if P == 0:
+        return None
+    prow = np.repeat(np.arange(len(vpos), dtype=np.int64), mcnt)
+    moff = np.arange(P, dtype=np.int64) - np.repeat(np.cumsum(mcnt) - mcnt, mcnt)
+    pair_poly = members[np.repeat(starts[vpos], mcnt) + moff].astype(np.int64)
+    # (pair, point) expansion: each pair contributes its cell's points
+    pair_pts = vcnt[prow]
+    T = int(pair_pts.sum())
+    qrow = np.repeat(np.arange(P, dtype=np.int64), pair_pts)
+    qoff = np.arange(T, dtype=np.int64) - np.repeat(np.cumsum(pair_pts) - pair_pts, pair_pts)
+    point_idx = order[vstart[prow][qrow] + qoff]
+    poly_idx = pair_poly[qrow]
+    # group candidate pairs by polygon into contiguous slices
+    gorder = np.argsort(poly_idx, kind="stable")
+    poly_sorted = poly_idx[gorder]
+    point_sorted = point_idx[gorder]
+    slice_bounds = np.flatnonzero(
+        np.r_[True, poly_sorted[1:] != poly_sorted[:-1], True]
+    )
+    return poly_sorted, point_sorted, slice_bounds
 
 
 def geocode_pip_tile(
@@ -109,7 +165,7 @@ def geocode_pip_tile(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = bc.value
-        cells_map = idx["cells"]
+        keys, starts, members = idx["cell_keys"], idx["starts"], idx["members"]
         wkbs = idx["wkbs"]
         pids = idx["pids"]
         lvl = idx["level"]
@@ -133,21 +189,14 @@ def geocode_pip_tile(
             urls = pdf["url"].to_numpy()[ok] if include_url else None
             ids = pdf["page_id"].to_numpy()[ok]
             pcells = grid.encode_points(px, py, lvl)
-            # bucket points by cell, gather candidate polygon lists
-            order = np.argsort(pcells, kind="stable")
-            pcells_s = pcells[order]
-            bounds = np.flatnonzero(np.r_[True, pcells_s[1:] != pcells_s[:-1], True])
-            # per-polygon point gather
-            poly_pts = defaultdict(list)
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                cands = cells_map.get(int(pcells_s[s]))
-                if cands is None:
-                    continue
-                for pi in cands:
-                    poly_pts[int(pi)].append(order[s:e])
+            gathered = _gather_poly_points(pcells, keys, starts, members)
+            if gathered is None:
+                continue
+            poly_sorted, point_sorted, sb = gathered
             out_pid, out_url, out_poly, out_cell = [], [], [], []
-            for pi, chunks in poly_pts.items():
-                sel = np.concatenate(chunks)
+            for s, e in zip(sb[:-1], sb[1:]):
+                pi = int(poly_sorted[s])
+                sel = point_sorted[s:e]
                 pp = prepared.get(pi)
                 if pp is None:
                     if len(prepared) > 4096:
@@ -252,7 +301,7 @@ def geocode_pip_tile_jvm(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = bc.value
-        cells_map = idx["cells"]
+        keys, starts, members = idx["cell_keys"], idx["starts"], idx["members"]
         wkbs = idx["wkbs"]
         pids = idx["pids"]
         lvl = idx["level"]
@@ -265,19 +314,14 @@ def geocode_pip_tile_jvm(
             urls = pdf["url"].to_numpy() if include_url else None
             ids = pdf["page_id"].to_numpy()
             pcells = grid.encode_points(px, py, lvl)
-            order = np.argsort(pcells, kind="stable")
-            pcells_s = pcells[order]
-            bounds = np.flatnonzero(np.r_[True, pcells_s[1:] != pcells_s[:-1], True])
-            poly_pts = defaultdict(list)
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                cands = cells_map.get(int(pcells_s[s]))
-                if cands is None:
-                    continue
-                for pi in cands:
-                    poly_pts[int(pi)].append(order[s:e])
+            gathered = _gather_poly_points(pcells, keys, starts, members)
+            if gathered is None:
+                continue
+            poly_sorted, point_sorted, sb = gathered
             out_pid, out_url, out_poly, out_cell = [], [], [], []
-            for pi, chunks in poly_pts.items():
-                sel = np.concatenate(chunks)
+            for s, e in zip(sb[:-1], sb[1:]):
+                pi = int(poly_sorted[s])
+                sel = point_sorted[s:e]
                 pp = prepared.get(pi)
                 if pp is None:
                     if len(prepared) > 4096:
