@@ -85,7 +85,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
             "event_type": ["a", "a", "a"],
         }
     )
-    spark.createDataFrame(b1).write.mode("overwrite").parquet(src + "/f1")
+    spark.createDataFrame(b1).repartition(1).write.mode("overwrite").parquet(src + "/f1")
 
     stream_df = (
         spark.readStream.schema("ts timestamp, event_type string")
@@ -108,15 +108,36 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # watermark is now 15:00 - 10min = 14:50 → the 12:00 window is final
     assert first[first.window_start == base]["n_events"].sum() == 2
 
-    # batch 2: one LATE event (12:01, behind the watermark) and one
-    # fresh event that closes the 15:00 window
+    # f2 is a spacer batch; f3 carries the LATE event (12:01, behind
+    # the watermark) plus a fresh event.  The late row must arrive TWO
+    # batches after the watermark-advancing 15:00 event: the micro-
+    # batch engine filters batch N with the watermark derived from
+    # batch N-2's event-time stats (one-batch commit lag — verified
+    # empirically; with the late row in batch N-1 it still lands).
     b2 = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(hours=3, minutes=30)], "event_type": ["a"]}
+    )
+    spark.createDataFrame(b2).repartition(1).write.mode("overwrite").parquet(src + "/f2")
+    b3 = pd.DataFrame(
         {
             "ts": [base + pd.Timedelta(minutes=1), base + pd.Timedelta(hours=4)],
             "event_type": ["a", "a"],
         }
     )
-    spark.createDataFrame(b2).write.mode("overwrite").parquet(src + "/f2")
+    spark.createDataFrame(b3).repartition(1).write.mode("overwrite").parquet(src + "/f3")
+    # ONE part file per directory (repartition(1) above) and pinned
+    # mtimes: maxFilesPerTrigger=1 batches per PART FILE ordered by
+    # modification time, so multi-part writes with near-identical
+    # mtimes would make the batch order (and the watermark advance)
+    # nondeterministic — the original flake
+    now = time.time()
+    for d, mt in (
+        (src + "/f1", now - 120),
+        (src + "/f2", now - 60),
+        (src + "/f3", now),
+    ):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (mt, mt))
     q2 = (
         out.writeStream.format("memory")
         .queryName("late_win2")
