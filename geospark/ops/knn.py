@@ -178,7 +178,6 @@ def knn_join(
 
     cand = (
         q.join(b, on="__cell", how="inner")
-        .dropDuplicates(["__qid", "__bid"])
         .withColumn(
             "__gx", _axis_gap(F.col("__qxmin"), F.col("__qxmax"), F.col("__xmin"), F.col("__xmax"))
         )
@@ -191,8 +190,16 @@ def knn_join(
             F.sqrt(F.col("__gx") * F.col("__gx") + F.col("__gy") * F.col("__gy")),
         )
         .drop("__gx", "__gy")
+        # rng filter BEFORE the pair dedupe: the filter is a map-side
+        # predicate, the dedupe a full shuffle — order matters at 47M
+        # candidates
         .where(F.col("__rect_dist") <= rng)
     )
+    if build_geom is not None:
+        # a (query, build) pair repeats only when the BUILD envelope
+        # spans several cover cells; point builds key exactly one cell
+        # per row, so the dedupe shuffle is skipped entirely
+        cand = cand.dropDuplicates(["__qid", "__bid"])
 
     if n is None:  # envelope/range query: no cut, no re-rank
         return cand.select(
@@ -205,6 +212,25 @@ def knn_join(
     # re-rank (index.clj:102-103)
     w_rect = Window.partitionBy("__qid").orderBy(F.col("__rect_dist").asc(), F.col("__bid").asc())
     cand = cand.withColumn("__rrank", F.row_number().over(w_rect)).where(F.col("__rrank") <= n)
+
+    if query_geom is None and build_geom is None:
+        # point/point: the envelope IS the geometry, so rect distance
+        # equals true distance STATICALLY — skip the python re-rank
+        # stage entirely (the second window reuses the first one's
+        # partitioning, no extra exchange)
+        w_true = Window.partitionBy("__qid").orderBy(
+            F.col("__rect_dist").asc(), F.col("__bid").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w_true))
+            .select(
+                F.col("__qid").alias(query_id),
+                F.col("__bid").alias(build_id),
+                F.col("__rect_dist").alias("rect_dist"),
+                F.col("__rect_dist").alias("dist"),
+                "rank",
+            )
+        )
 
     @F.pandas_udf(DoubleType())
     def true_dist(
