@@ -303,6 +303,10 @@ def simhash_near_dups(
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     sh = simhash64(docs, id_col, text_col)
+    # same join-free shape as minhash_lsh_pairs: one band explode (the
+    # simhash mapInPandas stage runs ONCE, not twice through a self-
+    # join), bucket groupBy carrying (id, simhash) structs, skew-spread
+    # pair explosion, cross-band pair dedupe, exact Hamming refine
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -318,20 +322,27 @@ def simhash_near_dups(
             ])
         ).alias("__bb"),
     ).select(id_col, "simhash", F.col("__bb.b").alias("__b"), F.col("__bb.v").alias("__v"))
-    l = bands.alias("l")
-    r = bands.alias("r")
+    grouped = bands.groupBy("__b", "__v").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+        ).alias("__ids")
+    )
+    first = (
+        grouped.where(F.size("__ids") > 1)
+        .select(F.posexplode("__ids").alias("__i", "__a"), F.col("__ids"))
+        .where(F.col("__i") < F.size("__ids") - 1)
+    )
     pairs = (
-        l.join(
-            r,
-            (F.col("l.__b") == F.col("r.__b"))
-            & (F.col("l.__v") == F.col("r.__v"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        first.repartition("__a", "__i")
+        .select(
+            "__a",
+            F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias("__bb2"),
         )
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("__sa"),
-            F.col("r.simhash").alias("__sb"),
+            F.col("__a.i").alias("id_a"),
+            F.col("__bb2.i").alias("id_b"),
+            F.col("__a.s").alias("__sa"),
+            F.col("__bb2.s").alias("__sb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
