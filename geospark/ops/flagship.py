@@ -30,6 +30,29 @@ from ..geom import core as gc
 from ..geom import predicates as gpred
 
 
+# broadcast-index reuse across calls on the SAME polygon DataFrame
+# object (DataFrames are immutable, so identity implies identical
+# data): a long-running job queries one dimension layer repeatedly and
+# should pay the collect + driver-side cover + broadcast ONCE, not per
+# query.  Weak keys: dropping the DataFrame drops its cached indexes.
+import weakref
+
+_INDEX_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_index_bc(polys, poly_id, poly_geom, grid: CellGrid, level: int):
+    per_df = _INDEX_CACHE.setdefault(polys, {})
+    key = (poly_id, poly_geom, grid.x0, grid.y0, grid.span, level)
+    bc = per_df.get(key)
+    if bc is None:
+        rows = [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()]
+        bc = polys.sparkSession.sparkContext.broadcast(
+            build_cell_index(rows, grid, level)
+        )
+        per_df[key] = bc
+    return bc
+
+
 def build_cell_index(polys_rows, grid: CellGrid, level: int):
     """cell id → int32 indexes into the polygon arrays, in CSR layout
     (sorted keys + member slices) so the probe resolves every cell of
@@ -151,9 +174,7 @@ def geocode_pip_tile(
             *(["url"] if include_url else []),
             "poly_id", "cell_id",
         )
-    rows = [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()]
-    index = build_cell_index(rows, grid, level)
-    bc = pages.sparkSession.sparkContext.broadcast(index)
+    bc = _cached_index_bc(polys, poly_id, poly_geom, grid, level)
     fields = [StructField("page_id", LongType())]
     if include_url:
         fields.append(StructField("url", StringType()))
@@ -252,11 +273,16 @@ def geocode_pip_tile_jvm(
     broadcast_threshold = BROADCAST_MAX_BYTES
     if level is None:
         level = choose_level(polys, poly_geom, grid)
-    use_broadcast = estimate_build_bytes(polys, poly_geom) <= broadcast_threshold
+    # a cache hit means the index was already built (and the gate
+    # passed) for this dimension table — skip the estimate job too
+    cached = polys in _INDEX_CACHE and (
+        (poly_id, poly_geom, grid.x0, grid.y0, grid.span, level) in _INDEX_CACHE[polys]
+    )
+    use_broadcast = cached or (
+        estimate_build_bytes(polys, poly_geom) <= broadcast_threshold
+    )
     if use_broadcast:
-        rows = [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()]
-        index = build_cell_index(rows, grid, level)
-        bc = pages.sparkSession.sparkContext.broadcast(index)
+        bc = _cached_index_bc(polys, poly_id, poly_geom, grid, level)
 
     html_str = F.col("html").cast("string")
     # one regex pass; split the captured "x,y" pair afterwards
