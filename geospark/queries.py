@@ -247,6 +247,104 @@ FROM d WHERE dist <= 500
 """
 
 
+def q_cells_ops(spark, sf_dir) -> DataFrame:
+    """The cell-id fabric (§2.H create/add/entries machinery) through
+    the real kernels: pack→unpack roundtrip identity, parent index
+    arithmetic (ix//2, iy//2 one level up), children count (4),
+    boundary-clipped k_ring size, and compact() of each cell's full
+    sibling set (4 siblings → 1 parent).  Oracles are closed-form
+    integer arithmetic; the morton bit-interleave itself is exercised
+    by the roundtrip identities."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    src = n.select(
+        k.alias("n_nationkey"),
+        (k * 37 % 1000).cast("long").alias("ix"),
+        (k * 91 % 1000).cast("long").alias("iy"),
+        (6 + k % 8).cast("long").alias("lvl"),
+        (k % 3).cast("long").alias("kr"),
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("n_nationkey", src.schema["n_nationkey"].dataType),
+            StructField("rt_ix", LongType()),
+            StructField("rt_iy", LongType()),
+            StructField("rt_lvl", LongType()),
+            StructField("parent_ix", LongType()),
+            StructField("parent_iy", LongType()),
+            StructField("n_children", LongType()),
+            StructField("kring_n", LongType()),
+            StructField("compact_n", LongType()),
+            StructField("compact_is_parent", LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from .cells import cellid as cc
+
+        for pdf in batches:
+            rows = []
+            for key, ix, iy, lvl, kr in zip(
+                pdf["n_nationkey"], pdf["ix"], pdf["iy"], pdf["lvl"], pdf["kr"]
+            ):
+                ix, iy, lvl, kr = int(ix), int(iy), int(lvl), int(kr)
+                nside = 1 << lvl
+                ix, iy = ix % nside, iy % nside
+                cid = int(cc.pack(np.array([ix]), np.array([iy]), lvl)[0])
+                l2, ix2, iy2 = cc.unpack_one(cid)
+                p = int(cc.parent(np.array([cid]))[0])
+                _, pix, piy = cc.unpack_one(p)
+                kids = cc.children(p)
+                ring = cc.k_ring(cid, kr)
+                comp = cc.compact(np.asarray(kids, dtype=np.int64))
+                rows.append(
+                    (
+                        key, ix2, iy2, l2, pix, piy, len(kids), len(ring),
+                        len(comp), int(int(comp[0]) == p),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "n_nationkey", "rt_ix", "rt_iy", "rt_lvl", "parent_ix",
+                    "parent_iy", "n_children", "kring_n", "compact_n",
+                    "compact_is_parent",
+                ],
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_CELLS_OPS_SQL = """
+WITH p AS (
+  SELECT n_nationkey,
+         (n_nationkey*37) % 1000 AS ix0,
+         (n_nationkey*91) % 1000 AS iy0,
+         6 + n_nationkey % 8 AS lvl,
+         n_nationkey % 3 AS kr
+  FROM nation),
+c AS (
+  SELECT n_nationkey, lvl, kr,
+         ix0 % (1 << lvl::INTEGER) AS ix,
+         iy0 % (1 << lvl::INTEGER) AS iy
+  FROM p)
+SELECT n_nationkey,
+       ix AS rt_ix, iy AS rt_iy, lvl AS rt_lvl,
+       ix // 2 AS parent_ix, iy // 2 AS parent_iy,
+       4::BIGINT AS n_children,
+       -- clipped Chebyshev window at the cell's own level
+       ((LEAST(ix + kr, (1 << lvl::INTEGER) - 1) - GREATEST(ix - kr, 0) + 1)
+        * (LEAST(iy + kr, (1 << lvl::INTEGER) - 1) - GREATEST(iy - kr, 0) + 1))::BIGINT AS kring_n,
+       1::BIGINT AS compact_n,
+       1::BIGINT AS compact_is_parent
+FROM c
+"""
+
+
 def q_raster_roundtrip(spark, sf_dir) -> DataFrame:
     """raster↔vector materialization (SURVEY §2 tiling; north-star
     raster↔vector leg): points → per-cell count raster (rasterize,
@@ -1467,6 +1565,7 @@ def registry() -> Dict[str, Callable]:
         "range_query": q_range_query,
         "type_predicates": q_type_predicates,
         "raster_roundtrip": q_raster_roundtrip,
+        "cells_ops": q_cells_ops,
     }
 
 
@@ -1549,4 +1648,5 @@ def oracles() -> Dict[str, str]:
         "range_query": Q_RANGE_QUERY_SQL,
         "type_predicates": Q_TYPE_PREDICATES_SQL,
         "raster_roundtrip": Q_RASTER_SQL,
+        "cells_ops": Q_CELLS_OPS_SQL,
     }
