@@ -1372,6 +1372,74 @@ SELECT * FROM (VALUES
 """
 
 
+def q_gpkg_introspect(spark, sf_dir) -> DataFrame:
+    """GeoPackage introspection + drop-table (gpkg.clj table-names /
+    column-names / geometry-column; drop-table): write a geometry
+    table and an attribute-only table, read every introspection
+    surface, drop one table and confirm both the listing and the
+    metadata rows are gone.  Output = literal (kind, name, value)
+    rows; oracle = the expectation."""
+    import os
+    import tempfile
+
+    from .functions import st_point
+    from .io import gpkg as gpkg_io
+
+    pts = customer_points(spark, sf_dir).limit(5).select(
+        "c_custkey", st_point("x", "y").alias("geom")
+    )
+    attrs = customer_points(spark, sf_dir).limit(5).select("c_custkey", "x")
+    path = os.path.join(tempfile.gettempdir(), "geospark_q_introspect.gpkg")
+    if os.path.exists(path):
+        os.unlink(path)
+    gpkg_io.write_gpkg(pts, path, "pts", srid=27700)
+    gpkg_io.write_gpkg(attrs, path, "attrs", geom_col=None)
+    names_before = ",".join(sorted(gpkg_io.table_names(path)))
+    spatial_only = ",".join(sorted(gpkg_io.table_names(path, spatial_only=True)))
+    cols = ",".join(gpkg_io.column_names(path, "pts"))
+    gc_pts = gpkg_io.geometry_column(path, "pts")  # (col, type, srid)
+    gc_attrs = gpkg_io.geometry_column(path, "attrs")
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    srs_org = con.execute(
+        "SELECT organization FROM gpkg_spatial_ref_sys WHERE srs_id = 27700"
+    ).fetchone()[0]
+    con.close()
+    gpkg_io.drop_table(path, "attrs")
+    names_after = ",".join(sorted(gpkg_io.table_names(path)))
+    con = sqlite3.connect(path)
+    meta_left = con.execute(
+        "SELECT COUNT(*) FROM gpkg_contents WHERE table_name = 'attrs'"
+    ).fetchone()[0]
+    con.close()
+    rows = [
+        ("tables", "before", names_before),
+        ("tables", "spatial_only", spatial_only),
+        ("tables", "after_drop", names_after),
+        ("columns", "pts", cols),
+        ("geometry_column", "pts", f"{gc_pts[0]}:{gc_pts[1]}:{gc_pts[2]}"),
+        ("geometry_column", "attrs", str(gc_attrs)),
+        ("srs", "organization", str(srs_org)),
+        ("drop", "contents_rows_left", str(int(meta_left))),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["kind", "name", "value"]))
+
+
+Q_GPKG_INTROSPECT_SQL = """
+SELECT * FROM (VALUES
+  ('tables', 'before', 'attrs,pts'),
+  ('tables', 'spatial_only', 'pts'),
+  ('tables', 'after_drop', 'pts'),
+  ('columns', 'pts', 'fid,geom,c_custkey'),
+  ('geometry_column', 'pts', 'geom:GEOMETRY:27700'),
+  ('geometry_column', 'attrs', 'None'),
+  ('srs', 'organization', 'EPSG'),
+  ('drop', 'contents_rows_left', '0')
+) AS t(kind, name, value)
+"""
+
+
 def q_tile_rollup(spark, sf_dir) -> DataFrame:
     """Hypertable-style rollup through stream_tile_counts' batch twin
     (streaming/windows.py — identical code path batch/stream): events
@@ -1566,6 +1634,7 @@ def registry() -> Dict[str, Callable]:
         "type_predicates": q_type_predicates,
         "raster_roundtrip": q_raster_roundtrip,
         "cells_ops": q_cells_ops,
+        "gpkg_introspect": q_gpkg_introspect,
     }
 
 
@@ -1649,4 +1718,5 @@ def oracles() -> Dict[str, str]:
         "type_predicates": Q_TYPE_PREDICATES_SQL,
         "raster_roundtrip": Q_RASTER_SQL,
         "cells_ops": Q_CELLS_OPS_SQL,
+        "gpkg_introspect": Q_GPKG_INTROSPECT_SQL,
     }
