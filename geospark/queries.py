@@ -538,6 +538,18 @@ def _simhash_sql() -> str:
     return SIMHASH_SQL
 
 
+def _fingerprint_winnow_sql() -> str:
+    from .text.fingerprint import winnow_sql
+
+    return winnow_sql()
+
+
+def _fingerprint_dups_sql() -> str:
+    from .text.fingerprint import overlap_pairs_sql
+
+    return overlap_pairs_sql(min_common=20)
+
+
 def _minhash_sql() -> str:
     from .text.dedup import MINHASH_A, MINHASH_B, MERSENNE
 
@@ -824,6 +836,65 @@ SELECT doc_id,
        WHEN s_es > 0 THEN 'es'
        ELSE 'unk' END = lang) AS hit
 FROM s
+"""
+
+
+def q_fingerprint_winnow(spark, sf_dir) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et
+    al. SIGMOD'03 / MOSS): every w-window of k-gram hashes selects its
+    rightmost minimum; the distinct (pos, hash) set is the document
+    fingerprint.  Pure Catalyst (explode → substring → md5 → window
+    min); one doc_id-partition shuffle, per-doc work bounded by doc
+    length."""
+    from .text.fingerprint import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint_dups(spark, sf_dir) -> DataFrame:
+    """Long-match near-dup candidates: pairs sharing ≥20 winnowing
+    fingerprints (guaranteed to include every pair with a sufficiently
+    long literal overlap).  groupBy-fingerprint + skew-spread pair
+    explosion — no self-join; oracle is the quadratic reference join
+    over the identical fingerprint set."""
+    from .text.fingerprint import fingerprint_overlap_pairs
+
+    return fingerprint_overlap_pairs(_t(spark, sf_dir, "documents"), min_common=20)
+
+
+# BPE-ish regex tokenizer: letter runs, ≤3-digit number chunks (the
+# GPT-style digit-chunking convention), single punctuation marks.
+# Verified byte-identical tokenization between Java regex (Spark) and
+# RE2 (DuckDB) for this pattern class.
+BPE_PAT = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]"
+
+
+def q_token_stats(spark, sf_dir) -> DataFrame:
+    """Token counting two ways — whitespace tokens and a BPE-ish regex
+    tokenizer — plus per-class run counts.  All JVM-side regexp_count;
+    no Python, no shuffle (map-only over the scan)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_PAT)).cast("long").alias("n_bpe_tokens"),
+        F.regexp_count(t, F.lit("[A-Za-z]+")).cast("long").alias("n_alpha_runs"),
+        F.regexp_count(t, F.lit("[0-9]{1,3}")).cast("long").alias("n_digit_chunks"),
+        F.regexp_count(t, F.lit("[^A-Za-z0-9 ]")).cast("long").alias("n_other"),
+    )
+
+
+Q_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_ws_tokens,
+       length(regexp_extract_all(text, '{BPE_PAT}'))::BIGINT AS n_bpe_tokens,
+       length(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_alpha_runs,
+       length(regexp_extract_all(text, '[0-9]{{1,3}}'))::BIGINT AS n_digit_chunks,
+       length(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS n_other
+FROM documents
 """
 
 
@@ -1613,6 +1684,9 @@ def registry() -> Dict[str, Callable]:
         "cosine_dups": q_cosine_dups,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "fingerprint_winnow": q_fingerprint_winnow,
+        "fingerprint_dups": q_fingerprint_dups,
+        "token_stats": q_token_stats,
         "events_hourly": q_events_hourly,
         "extent_agg": q_extent_agg,
         "geocode": q_geocode,
@@ -1693,6 +1767,9 @@ def oracles() -> Dict[str, str]:
         "cosine_dups": Q_COSINE_DUPS_SQL,
         "text_quality": Q_TEXT_QUALITY_SQL,
         "lang_id": _langid_sql(),
+        "fingerprint_winnow": _fingerprint_winnow_sql(),
+        "fingerprint_dups": _fingerprint_dups_sql(),
+        "token_stats": Q_TOKEN_STATS_SQL,
         "events_hourly": Q_EVENTS_SQL,
         "extent_agg": Q_EXTENT_SQL,
         "geocode": Q_GEOCODE_SQL,

@@ -281,3 +281,61 @@ def test_frame_sample_fake_codec(spark):
         decode_frame(fake_video_payload(0, 8, 4, 25), 25, codec="fake")
     with pytest.raises(ValueError):
         frame_sample(media, every_n=0, codec="fake")
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing (SIGMOD'03): any shared substring of length >= w+k-1
+    yields >= 1 shared fingerprint; expected density ~ 2/(w+1)."""
+    import random
+
+    from geospark.text.fingerprint import winnow_fingerprints
+
+    rng = random.Random(7)
+    alpha = "abcdefghij"
+    shared = "".join(rng.choice(alpha) for _ in range(40))  # >= w+k-1 = 12
+    docs = [
+        (1, "".join(rng.choice(alpha) for _ in range(100)) + shared),
+        (2, shared + "".join(rng.choice(alpha) for _ in range(100))),
+        (3, "".join(rng.choice(alpha) for _ in range(140))),
+    ]
+    fp = winnow_fingerprints(
+        spark.createDataFrame(docs, "doc_id long, text string"), k=5, w=8
+    ).toPandas()
+    s1 = set(fp[fp.doc_id == 1].fp)
+    s2 = set(fp[fp.doc_id == 2].fp)
+    assert s1 & s2, "docs sharing a 40-char substring must share a fingerprint"
+    # density: n_grams=136 per doc, expected ~2/(w+1)=0.22 selected
+    per_doc = fp.groupby("doc_id").size()
+    assert (per_doc > 10).all() and (per_doc < 70).all()
+    # positions are valid 1-based k-gram starts
+    assert fp.fp_pos.min() >= 1 and fp.fp_pos.max() <= 136
+
+
+def test_winnow_short_doc_and_determinism(spark):
+    from geospark.text.fingerprint import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghikj"), (2, "x" * 11), (3, "abcdefghijkl")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, w=8).toPandas()
+    # len 11 < k+w-1=12 -> no fingerprints; len 12 -> exactly one full window
+    assert set(fp.doc_id) == {3}
+    assert len(fp) == 1
+    # repartitioning must not change the fingerprint set
+    fp2 = winnow_fingerprints(docs.repartition(5), k=5, w=8).toPandas()
+    assert sorted(map(tuple, fp.values.tolist())) == sorted(map(tuple, fp2.values.tolist()))
+
+
+def test_fingerprint_overlap_pairs_max_bucket(spark):
+    from geospark.text.fingerprint import fingerprint_overlap_pairs
+
+    # 6 identical docs: every fingerprint bucket holds all 6 docs
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again") for i in range(6)],
+        "doc_id long, text string",
+    )
+    full = fingerprint_overlap_pairs(docs, min_common=1).toPandas()
+    assert len(full) == 15  # all C(6,2) pairs
+    capped = fingerprint_overlap_pairs(docs, min_common=1, max_bucket=3).toPandas()
+    assert len(capped) == 0  # every bucket dropped by the guard
