@@ -99,8 +99,9 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
         # envelope query, multimodal plumbing
         "simhash_dups", "cosine_dups", "ann_lsh", "ann_ivf", "sessions",
         "range_query", "media_features", "audio_features", "frame_sample",
-        # winnowing fingerprints + regex token counting
+        # winnowing fingerprints + regex token counting + cleaning pass
         "fingerprint_winnow", "fingerprint_dups", "token_stats",
+        "corpus_clean",
     ]
     for name in headline:
         try:

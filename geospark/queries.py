@@ -760,9 +760,9 @@ SELECT id_a, id_b, sim FROM p WHERE sim >= 0.98
 """
 
 
-def q_text_quality(spark, sf_dir) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    text = F.col("text")
+def _quality_exprs(text):
+    """Row-local quality expressions shared by q_text_quality and
+    q_corpus_clean (one definition — the oracles replay it)."""
     n_chars = F.length(text)
     n_spaces = F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
     n_tokens = n_spaces + 1
@@ -770,13 +770,18 @@ def q_text_quality(spark, sf_dir) -> DataFrame:
     stop_the = (
         (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit(" ")))) / 4
     ).cast("long")
-    return d.select(
-        "doc_id",
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round((n_chars - n_spaces) / n_tokens, 4).alias("avg_word_len"),
-        stop_the.alias("stop_the"),
-    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_word_len": F.round((n_chars - n_spaces) / n_tokens, 4),
+        "stop_the": stop_the,
+    }
+
+
+def q_text_quality(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    q = _quality_exprs(F.col("text"))
+    return d.select("doc_id", *[expr.alias(name) for name, expr in q.items()])
 
 
 Q_TEXT_QUALITY_SQL = """
@@ -790,10 +795,10 @@ FROM documents
 """
 
 
-def q_lang_id(spark, sf_dir) -> DataFrame:
-    """Marker-word language heuristic (deterministic tie-break)."""
-    d = _t(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+def _langid_pred(text):
+    """Marker-word language prediction expression (deterministic
+    tie-break); shared by q_lang_id and q_corpus_clean."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
 
     def cnt(marker):
         m = f" {marker} "
@@ -803,13 +808,19 @@ def q_lang_id(spark, sf_dir) -> DataFrame:
         ).cast("long")
 
     s_en, s_fr, s_de, s_es = cnt("the"), cnt("le"), cnt("der"), cnt("el")
-    pred = (
+    return (
         F.when((s_en >= s_fr) & (s_en >= s_de) & (s_en >= s_es) & (s_en > 0), "en")
         .when((s_fr >= s_de) & (s_fr >= s_es) & (s_fr > 0), "fr")
         .when((s_de >= s_es) & (s_de > 0), "de")
         .when(s_es > 0, "es")
         .otherwise("unk")
     )
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    """Marker-word language heuristic (deterministic tie-break)."""
+    d = _t(spark, sf_dir, "documents")
+    pred = _langid_pred(F.col("text"))
     return d.select("doc_id", pred.alias("pred_lang"), (pred == F.col("lang")).alias("hit"))
 
 
@@ -895,6 +906,51 @@ SELECT doc_id,
        length(regexp_extract_all(text, '[0-9]{{1,3}}'))::BIGINT AS n_digit_chunks,
        length(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS n_other
 FROM documents
+"""
+
+
+def q_corpus_clean(spark, sf_dir) -> DataFrame:
+    """C4-style corpus-cleaning pass composed from the engine's text
+    operators: exact dedup (keep canonical doc per text hash), token
+    count + average-word-length quality gates, and marker-word
+    language-ID agreement.  The quality and language stages are
+    row-local expressions folded into the ONE documents scan (no join,
+    no shuffle — filters run before the exchange); only dedup shuffles
+    (groupBy text-hash + one doc_id join back)."""
+    from .text.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    q = _quality_exprs(F.col("text"))
+    pred = _langid_pred(F.col("text"))
+    kept = d.select(
+        "doc_id",
+        "lang",
+        q["n_tokens"].alias("n_tokens"),
+        q["avg_word_len"].alias("avg_word_len"),
+        (pred == F.col("lang")).alias("hit"),
+    ).where((F.col("n_tokens") >= 30) & (F.col("avg_word_len") <= 5.0) & F.col("hit"))
+    canon = exact_dedup(d).select(
+        F.col("canonical_id").alias("doc_id"), F.col("n_dups")
+    )
+    return kept.join(canon, "doc_id").select("doc_id", "lang", "n_tokens", "n_dups")
+
+
+def _corpus_clean_sql() -> str:
+    return f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+  FROM documents GROUP BY md5(text)),
+qual AS (
+  SELECT doc_id,
+         (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+         round((length(text) - (length(text) - length(replace(text, ' ', ''))))
+               / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_word_len
+  FROM documents),
+lid AS ({_langid_sql()})
+SELECT d.doc_id, d.lang, qual.n_tokens, canon.n_dups
+FROM documents d
+JOIN canon USING (doc_id) JOIN qual USING (doc_id) JOIN lid USING (doc_id)
+WHERE qual.n_tokens >= 30 AND qual.avg_word_len <= 5.0 AND lid.hit
 """
 
 
@@ -1687,6 +1743,7 @@ def registry() -> Dict[str, Callable]:
         "fingerprint_winnow": q_fingerprint_winnow,
         "fingerprint_dups": q_fingerprint_dups,
         "token_stats": q_token_stats,
+        "corpus_clean": q_corpus_clean,
         "events_hourly": q_events_hourly,
         "extent_agg": q_extent_agg,
         "geocode": q_geocode,
@@ -1770,6 +1827,7 @@ def oracles() -> Dict[str, str]:
         "fingerprint_winnow": _fingerprint_winnow_sql(),
         "fingerprint_dups": _fingerprint_dups_sql(),
         "token_stats": Q_TOKEN_STATS_SQL,
+        "corpus_clean": _corpus_clean_sql(),
         "events_hourly": Q_EVENTS_SQL,
         "extent_agg": Q_EXTENT_SQL,
         "geocode": Q_GEOCODE_SQL,

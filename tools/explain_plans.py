@@ -40,7 +40,8 @@ def main(sf_dir="/root/testdata/sf0.01"):
     for name in [
         "pip_join", "knn", "knn_geom", "tile_assign", "grid", "dedup_exact",
         "events_hourly", "minhash_pairs", "simhash_dups", "ann_lsh",
-        "cosine_dups", "overlay_areas",
+        "cosine_dups", "overlay_areas", "fingerprint_winnow",
+        "fingerprint_dups", "token_stats", "corpus_clean",
     ]:
         df = registry()[name](spark, sf_dir)
         buf = io.StringIO()
