@@ -954,6 +954,89 @@ WHERE qual.n_tokens >= 30 AND qual.avg_word_len <= 5.0 AND lid.hit
 """
 
 
+def q_pipeline_resume(spark, sf_dir) -> DataFrame:
+    """Drives the resumable snapshot pipeline (run/pipeline.py —
+    reference gpkg.clj's engine-native storage analogue) end-to-end:
+    a two-stage run (quality-clean → per-language rollup) committed to
+    a fresh snapshot catalog, then RE-RUN under the same run_id.  The
+    resumed run must skip both committed stages (each stage table
+    still holds exactly one snapshot) and read back identical data.
+    Emits the rollup with the per-stage snapshot counts and a lineage
+    coverage flag as value-checked columns; the bounded (≤5-row)
+    result is materialized so the temp catalog can be removed."""
+    import shutil
+    import tempfile
+
+    from .run.pipeline import Pipeline, SnapshotCatalog
+
+    root = tempfile.mkdtemp(prefix="geospark_pipeline_q_")
+    try:
+        catalog = SnapshotCatalog(root)
+
+        def stage_clean(sp, outputs):
+            d = _t(sp, sf_dir, "documents")
+            q = _quality_exprs(F.col("text"))
+            return d.select(
+                "doc_id", "lang", q["n_tokens"].alias("n_tokens")
+            ).where(F.col("n_tokens") >= 30)
+
+        def stage_rollup(sp, outputs):
+            return (
+                outputs["clean"]
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").alias("tok_sum"),
+                )
+            )
+
+        def build():
+            return (
+                Pipeline(spark, catalog, run_id="q_resume")
+                .stage("clean", stage_clean)
+                .stage("rollup", stage_rollup)
+            )
+
+        build().run(verbose=False)
+        resumed = build().run(verbose=False)  # must skip both stages
+        snaps_clean = len(catalog.snapshots("q_resume__clean"))
+        snaps_rollup = len(catalog.snapshots("q_resume__rollup"))
+        lineage_stages = (
+            catalog.lineage(spark).select("stage").distinct().count()
+        )
+        rows = [
+            (
+                r["lang"],
+                int(r["n_docs"]),
+                int(r["tok_sum"]),
+                snaps_clean,
+                snaps_rollup,
+                lineage_stages,
+            )
+            for r in resumed["rollup"].collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_docs long, tok_sum long, snaps_clean long, "
+        "snaps_rollup long, lineage_stages long",
+    )
+
+
+Q_PIPELINE_RESUME_SQL = """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tok_sum,
+       1::BIGINT AS snaps_clean,
+       1::BIGINT AS snaps_rollup,
+       2::BIGINT AS lineage_stages
+FROM documents
+WHERE (length(text) - length(replace(text, ' ', '')) + 1) >= 30
+GROUP BY lang
+"""
+
+
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     """Tumbling-window aggregation; sum in integer cents so the result
     is independent of float summation order.  `hour` is emitted as a
@@ -1744,6 +1827,7 @@ def registry() -> Dict[str, Callable]:
         "fingerprint_dups": q_fingerprint_dups,
         "token_stats": q_token_stats,
         "corpus_clean": q_corpus_clean,
+        "pipeline_resume": q_pipeline_resume,
         "events_hourly": q_events_hourly,
         "extent_agg": q_extent_agg,
         "geocode": q_geocode,
@@ -1828,6 +1912,7 @@ def oracles() -> Dict[str, str]:
         "fingerprint_dups": _fingerprint_dups_sql(),
         "token_stats": Q_TOKEN_STATS_SQL,
         "corpus_clean": _corpus_clean_sql(),
+        "pipeline_resume": Q_PIPELINE_RESUME_SQL,
         "events_hourly": Q_EVENTS_SQL,
         "extent_agg": Q_EXTENT_SQL,
         "geocode": Q_GEOCODE_SQL,
