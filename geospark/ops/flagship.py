@@ -371,3 +371,108 @@ def geocode_pip_tile_jvm(
                 yield pd.DataFrame(cols)
 
     return pts.mapInPandas(run, schema=out_schema)
+
+
+def _candidate_rows(polys_rows, grid: CellGrid, level: int):
+    """One row per (cover cell, polygon): the polygon's edge array and
+    bbox, for the broadcast-join PIP plan (driver-side; the same
+    cover_geometry cells as build_cell_index, so candidate sets are
+    identical to the mapInPandas plan)."""
+    rows = []
+    for pid, wkb in polys_rows:
+        g = gc.from_wkb(wkb)
+        pp = gpred.PreparedPolygon(g)
+        edges = [
+            (float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(pp.x1, pp.y1, pp.x2, pp.y2)
+        ]
+        bxmin, bymin, bxmax, bymax = (float(v) for v in pp.bbox)
+        for cid in cover_geometry(g, grid, level):
+            rows.append((int(cid), pid, edges, bxmin, bymin, bxmax, bymax))
+    return rows
+
+
+def geocode_pip_tile_sql(
+    pages: DataFrame,
+    polys: DataFrame,
+    poly_id: str = "poly_id",
+    poly_geom: str = "geom",
+    level: Optional[int] = None,
+    tile_level: int = 14,
+    grid: CellGrid = DEFAULT_GRID,
+    include_url: bool = True,
+) -> DataFrame:
+    """Fully-JVM flagship: geocode regex, cell-id Morton encode,
+    broadcast-hash candidate join, and the exact ray-crossing PIP all
+    run as Catalyst expressions — no python worker anywhere, no Arrow
+    transfer, one whole-stage-codegen pipeline per task.
+
+    Bit-identical to geocode_pip_tile[_jvm] (asserted in tests): the
+    cell encode replays cellid.pack's float/morton pipeline
+    (cells/cellexpr.py) and the PIP replays
+    PreparedPolygon._locate_many's IEEE double op order
+    (pip_covers_expr).  The build side is the same per-(cell, polygon)
+    cover as build_cell_index, shipped as a broadcast-hash-join table
+    (edge arrays inline) instead of a python-side CSR index.
+
+    Trade-off vs the mapInPandas plan: zero python/Arrow memory
+    traffic and full codegen fusion, but the PIP higher-order
+    aggregate evaluates per (candidate, edge) inside the JVM — for
+    very high edge-count polygons the vectorized numpy kernel can win;
+    measure per workload (BENCH/BASELINE.md records both)."""
+    from .joins import choose_level
+
+    if level is None:
+        level = choose_level(polys, poly_geom, grid)
+    from ..cells.cellexpr import cell_id_expr, pip_covers_expr
+
+    spark = pages.sparkSession
+    rows = _candidate_rows(
+        [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()],
+        grid,
+        level,
+    )
+    pid_type = polys.schema[poly_id].dataType.simpleString()
+    cand = spark.createDataFrame(
+        rows,
+        f"__cell long, poly_id {pid_type}, "
+        "__edges array<struct<x1: double, y1: double, x2: double, y2: double>>, "
+        "__bxmin double, __bymin double, __bxmax double, __bymax double",
+    )
+
+    html_str = F.col("html").cast("string")
+    tok = F.regexp_extract(html_str, r"geo:(-?\d+\.\d+,-?\d+\.\d+)", 1)
+    parts = F.split(tok, ",")
+    pts = (
+        pages.select(
+            "page_id",
+            *(["url"] if include_url else []),
+            tok.alias("__tok"),
+            parts.alias("__p"),
+        )
+        .where(F.col("__tok") != "")
+        .select(
+            "page_id",
+            *(["url"] if include_url else []),
+            F.col("__p")[0].cast("double").alias("x"),
+            F.col("__p")[1].cast("double").alias("y"),
+        )
+        .withColumn("__cell", cell_id_expr(F.col("x"), F.col("y"), level, grid))
+    )
+    px, py = F.col("x"), F.col("y")
+    return (
+        pts.join(F.broadcast(cand), "__cell")
+        .where(
+            (px >= F.col("__bxmin"))
+            & (px <= F.col("__bxmax"))
+            & (py >= F.col("__bymin"))
+            & (py <= F.col("__bymax"))
+        )
+        .where(pip_covers_expr(px, py, F.col("__edges")))
+        .select(
+            "page_id",
+            *(["url"] if include_url else []),
+            "poly_id",
+            cell_id_expr(px, py, tile_level, grid).alias("cell_id"),
+        )
+    )

@@ -61,15 +61,13 @@ def assign_tiles(
     grid: CellGrid = DEFAULT_GRID,
     out_col: str = "cell_id",
 ) -> DataFrame:
-    """Vectorized Z-order tile id for each point row."""
+    """Z-order tile id for each point row — a pure Catalyst expression
+    (cells/cellexpr.py, bit-identical to cellid.pack), so tile
+    assignment runs inside whole-stage codegen with no python worker
+    or Arrow transfer at all."""
+    from ..cells.cellexpr import cell_id_expr
 
-    @F.pandas_udf(LongType())
-    def enc(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(
-            grid.encode_points(x.to_numpy(np.float64), y.to_numpy(np.float64), level)
-        )
-
-    return df.withColumn(out_col, enc(F.col(x_col), F.col(y_col)))
+    return df.withColumn(out_col, cell_id_expr(F.col(x_col), F.col(y_col), level, grid))
 
 
 def rasterize(

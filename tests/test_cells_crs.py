@@ -118,3 +118,28 @@ class TestCRS:
             transform_xy(1.0, 2.0, 999999999, 4326)
         with pytest.raises(ValueError):
             transform_xy(1.0, 2.0, 4326, 999999999)
+
+
+def test_cell_id_expr_matches_numpy(spark):
+    """Catalyst Morton encode (cells/cellexpr.py) is bit-identical to
+    cellid.pack across levels, grids, and out-of-domain points."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geospark.cells.cellexpr import cell_id_expr
+    from geospark.cells.cellid import DEFAULT_GRID, CellGrid
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-2e6, 3e6, 5000)
+    y = rng.uniform(-2e6, 3e6, 5000)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+    for grid in (DEFAULT_GRID, CellGrid(0.0, 0.0, 1024000.0)):
+        for level in (0, 7, 14, 28):
+            got = (
+                df.select(cell_id_expr(F.col("x"), F.col("y"), level, grid).alias("c"))
+                .toPandas()["c"]
+                .to_numpy()
+            )
+            want = grid.encode_points(x, y, level)
+            assert (got == want).all()

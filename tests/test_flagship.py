@@ -38,3 +38,20 @@ def test_fused_matches_composable(spark):
     )
     assert lean.columns == ["page_id", "poly_id", "cell_id"]
     assert lean.count() == len(fused)
+
+
+def test_geocode_pip_tile_sql_matches_kernel(spark):
+    """The fully-JVM Catalyst plan (broadcast candidate join + HOF
+    ray-crossing PIP) emits the identical row set to the mapInPandas
+    kernel plan."""
+    from geospark.io.pages import generate_districts, generate_pages
+    from geospark.ops.flagship import geocode_pip_tile_jvm, geocode_pip_tile_sql
+
+    pages = generate_pages(spark, 20000)
+    districts = generate_districts(spark, 200)
+    a = geocode_pip_tile_jvm(pages, districts, tile_level=14).toPandas()
+    b = geocode_pip_tile_sql(pages, districts, tile_level=14).toPandas()
+    cols = ["page_id", "poly_id", "cell_id"]
+    sa = sorted(map(tuple, a[cols].values.tolist()))
+    sb = sorted(map(tuple, b[cols].values.tolist()))
+    assert len(sa) > 0 and sa == sb
