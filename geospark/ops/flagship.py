@@ -401,11 +401,24 @@ def geocode_pip_tile_sql(
     tile_level: int = 14,
     grid: CellGrid = DEFAULT_GRID,
     include_url: bool = True,
+    unroll_max_edges: int = 0,
 ) -> DataFrame:
     """Fully-JVM flagship: geocode regex, cell-id Morton encode,
     broadcast-hash candidate join, and the exact ray-crossing PIP all
     run as Catalyst expressions — no python worker anywhere, no Arrow
-    transfer, one whole-stage-codegen pipeline per task.
+    transfer.
+
+    Measured slower than geocode_pip_tile_jvm's numpy kernel on this
+    workload EITHER WAY (BENCH/BASELINE.md "Pure-JVM flagship
+    experiment"): the higher-order aggregate/exists PIP is
+    CodegenFallback (interpreted per edge, 2.5× slower), and the
+    unrolled literal-index form (set unroll_max_edges ≥ the polygons'
+    edge count to enable) generates a filter method past HotSpot's
+    JIT size limit at ~17 edges (interpreted bytecode, 10× slower).
+    Kept because it needs no python workers at all — useful where
+    python is the constrained resource — and as the measured record
+    of why the Arrow-batched numpy kernel is the right default in
+    pure PySpark.
 
     Bit-identical to geocode_pip_tile[_jvm] (asserted in tests): the
     cell encode replays cellid.pack's float/morton pipeline
@@ -424,7 +437,11 @@ def geocode_pip_tile_sql(
 
     if level is None:
         level = choose_level(polys, poly_geom, grid)
-    from ..cells.cellexpr import cell_id_expr, pip_covers_expr
+    from ..cells.cellexpr import (
+        cell_id_expr,
+        pip_covers_expr,
+        pip_covers_unrolled_flat_expr,
+    )
 
     spark = pages.sparkSession
     rows = _candidate_rows(
@@ -432,6 +449,7 @@ def geocode_pip_tile_sql(
         grid,
         level,
     )
+    max_edges = max((len(r[2]) for r in rows), default=0)
     pid_type = polys.schema[poly_id].dataType.simpleString()
     cand = spark.createDataFrame(
         rows,
@@ -439,6 +457,20 @@ def geocode_pip_tile_sql(
         "__edges array<struct<x1: double, y1: double, x2: double, y2: double>>, "
         "__bxmin double, __bymin double, __bxmax double, __bymax double",
     )
+    if max_edges <= unroll_max_edges:
+        # flatten per-coordinate arrays on the (tiny) build side: the
+        # unrolled probe expression then reads plain GetArrayItem
+        # leaves, which keeps the generated code well under janino's
+        # method-size limit (struct-field chains blew past it)
+        cand = cand.select(
+            "__cell",
+            "poly_id",
+            F.transform("__edges", lambda e: e["x1"]).alias("__ex1"),
+            F.transform("__edges", lambda e: e["y1"]).alias("__ey1"),
+            F.transform("__edges", lambda e: e["x2"]).alias("__ex2"),
+            F.transform("__edges", lambda e: e["y2"]).alias("__ey2"),
+            "__bxmin", "__bymin", "__bxmax", "__bymax",
+        )
 
     html_str = F.col("html").cast("string")
     tok = F.regexp_extract(html_str, r"geo:(-?\d+\.\d+,-?\d+\.\d+)", 1)
@@ -468,7 +500,15 @@ def geocode_pip_tile_sql(
             & (py >= F.col("__bymin"))
             & (py <= F.col("__bymax"))
         )
-        .where(pip_covers_expr(px, py, F.col("__edges")))
+        .where(
+            pip_covers_unrolled_flat_expr(
+                px, py,
+                F.col("__ex1"), F.col("__ey1"), F.col("__ex2"), F.col("__ey2"),
+                max_edges,
+            )
+            if max_edges <= unroll_max_edges
+            else pip_covers_expr(px, py, F.col("__edges"))
+        )
         .select(
             "page_id",
             *(["url"] if include_url else []),
