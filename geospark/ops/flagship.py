@@ -373,6 +373,218 @@ def geocode_pip_tile_jvm(
     return pts.mapInPandas(run, schema=out_schema)
 
 
+def _inner_box(pp, eps_iters: int = 20):
+    """Largest centered axis-aligned box provably interior to the
+    polygon (binary search on the shrink factor): corners strictly
+    interior AND no edge bbox overlapping the box ⇒ the whole box is
+    interior (any boundary crossing would put an edge bbox onto it —
+    holds with holes, whose rings are in the edge set).  Points
+    strictly inside this box are covered without an exact PIP test —
+    the axis-aligned analogue of JTS PreparedPolygon's interior
+    shortcut.  Returns (x0, y0, x1, y1) or an empty box."""
+    import numpy as np
+
+    bxmin, bymin, bxmax, bymax = pp.bbox
+    cx, cy = (bxmin + bxmax) / 2.0, (bymin + bymax) / 2.0
+    eminx = np.minimum(pp.x1, pp.x2)
+    emaxx = np.maximum(pp.x1, pp.x2)
+    eminy = np.minimum(pp.y1, pp.y2)
+    emaxy = np.maximum(pp.y1, pp.y2)
+
+    def ok(t):
+        x0, x1 = cx + (bxmin - cx) * t, cx + (bxmax - cx) * t
+        y0, y1 = cy + (bymin - cy) * t, cy + (bymax - cy) * t
+        if not (x0 < x1 and y0 < y1):
+            return False
+        corners_x = np.array([x0, x1, x1, x0])
+        corners_y = np.array([y0, y0, y1, y1])
+        if (pp.locate_batch(corners_x, corners_y) != gpred.INTERIOR).any():
+            return False
+        overlap = ~((emaxx < x0) | (eminx > x1) | (emaxy < y0) | (eminy > y1))
+        return not overlap.any()
+
+    lo, hi = 0.0, 1.0
+    if ok(1.0):
+        lo = 1.0
+    else:
+        for _ in range(eps_iters):
+            mid = (lo + hi) / 2.0
+            if ok(mid):
+                lo = mid
+            else:
+                hi = mid
+    if lo == 0.0:
+        return (0.0, 0.0, -1.0, -1.0)  # empty box: strict test never passes
+    return (
+        cx + (bxmin - cx) * lo,
+        cy + (bymin - cy) * lo,
+        cx + (bxmax - cx) * lo,
+        cy + (bymax - cy) * lo,
+    )
+
+
+def geocode_pip_tile_hybrid(
+    pages: DataFrame,
+    polys: DataFrame,
+    poly_id: str = "poly_id",
+    poly_geom: str = "geom",
+    level: Optional[int] = None,
+    tile_level: int = 14,
+    grid: CellGrid = DEFAULT_GRID,
+    include_url: bool = True,
+) -> DataFrame:
+    """Hybrid flagship: the broadcast cell join, bbox test, and an
+    INNER-BOX fast path run fully in the JVM (whole-stage codegen);
+    only the ring of ambiguous candidates (inside bbox, outside the
+    proven-interior box) crosses into one python refine stage.
+
+    Motivation (measured, BENCH/BASELINE.md): the python worker
+    round-trip itself — not the kernel — is the flagship's dominant
+    cost (a consume-only mapInPandas over 64 M points is 13.7 s of the
+    15.4 s wall), so the win is sending FEWER ROWS across the
+    boundary, not making the kernel faster.  For axis-aligned-heavy
+    dimension layers (districts: squares/rects ARE their bbox) most
+    hits resolve in the JVM.
+
+    Exactness: inner-box hits are strictly interior by construction
+    (_inner_box proof); ring candidates get the identical
+    PreparedPolygon kernel; tile ids use the bit-identical Catalyst
+    Morton encode.  Output equals geocode_pip_tile_jvm row-for-row
+    (asserted in tests).
+
+    MEASURED CAVEAT (BENCH/BASELINE.md): on the flagship workload this
+    plan is ~2× slower than geocode_pip_tile_jvm — the broadcast hash
+    join materializes every (point, candidate) row (10.1 M wide rows
+    at 16 M pages) before the fast-path filter, and that JVM row
+    expansion costs more than the python socket path it avoids.  The
+    default kernel probes the cell index INSIDE the python stage
+    (broadcast CSR, no Catalyst join, no row expansion), which is why
+    it wins.  Use this form only when the ring fraction is tiny AND
+    python workers are scarce."""
+    from ..cells.cellexpr import cell_id_expr
+    from .joins import choose_level
+
+    if level is None:
+        level = choose_level(polys, poly_geom, grid)
+    spark = pages.sparkSession
+    polys_rows = [(r[0], bytes(r[1])) for r in polys.select(poly_id, poly_geom).collect()]
+    pid_type = polys.schema[poly_id].dataType.simpleString()
+
+    cand_rows = []
+    wkbs = []
+    for i, (pid, wkb) in enumerate(polys_rows):
+        g = gc.from_wkb(wkb)
+        pp = gpred.PreparedPolygon(g)
+        bxmin, bymin, bxmax, bymax = (float(v) for v in pp.bbox)
+        ix0, iy0, ix1, iy1 = (float(v) for v in _inner_box(pp))
+        wkbs.append(wkb)
+        for cid in cover_geometry(g, grid, level):
+            cand_rows.append(
+                (int(cid), pid, i, bxmin, bymin, bxmax, bymax, ix0, iy0, ix1, iy1)
+            )
+    cand = spark.createDataFrame(
+        cand_rows,
+        f"__cell long, poly_id {pid_type}, __pidx int, "
+        "__bxmin double, __bymin double, __bxmax double, __bymax double, "
+        "__ix0 double, __iy0 double, __ix1 double, __iy1 double",
+    )
+    bc_wkbs = spark.sparkContext.broadcast(wkbs)
+
+    html_str = F.col("html").cast("string")
+    tok = F.regexp_extract(html_str, r"geo:(-?\d+\.\d+,-?\d+\.\d+)", 1)
+    parts = F.split(tok, ",")
+    pts = (
+        pages.select(
+            "page_id",
+            *(["url"] if include_url else []),
+            tok.alias("__tok"),
+            parts.alias("__p"),
+        )
+        .where(F.col("__tok") != "")
+        .select(
+            "page_id",
+            *(["url"] if include_url else []),
+            F.col("__p")[0].cast("double").alias("x"),
+            F.col("__p")[1].cast("double").alias("y"),
+        )
+        .withColumn("__cell", cell_id_expr(F.col("x"), F.col("y"), level, grid))
+    )
+    px, py = F.col("x"), F.col("y")
+    j = pts.join(F.broadcast(cand), "__cell").where(
+        (px >= F.col("__bxmin"))
+        & (px <= F.col("__bxmax"))
+        & (py >= F.col("__bymin"))
+        & (py <= F.col("__bymax"))
+    )
+    in_inner = (
+        (px > F.col("__ix0")) & (px < F.col("__ix1"))
+        & (py > F.col("__iy0")) & (py < F.col("__iy1"))
+    )
+    out_cols = [
+        "page_id",
+        *(["url"] if include_url else []),
+        "poly_id",
+        cell_id_expr(px, py, tile_level, grid).alias("cell_id"),
+    ]
+    fast = j.where(in_inner).select(*out_cols)
+
+    ring_in = j.where(~in_inner).select(
+        "page_id", *(["url"] if include_url else []), "x", "y", "poly_id", "__pidx"
+    )
+    fields = [StructField("page_id", LongType())]
+    if include_url:
+        fields.append(StructField("url", StringType()))
+    fields += [
+        StructField("poly_id", polys.schema[poly_id].dataType),
+        StructField("cell_id", LongType()),
+    ]
+    out_schema = StructType(fields)
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blobs = bc_wkbs.value
+        prepared: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px_ = pdf["x"].to_numpy(np.float64)
+            py_ = pdf["y"].to_numpy(np.float64)
+            pidx = pdf["__pidx"].to_numpy(np.int64)
+            order = np.argsort(pidx, kind="stable")
+            ps = pidx[order]
+            sb = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1], True])
+            keep = np.zeros(len(pdf), dtype=bool)
+            for s, e in zip(sb[:-1], sb[1:]):
+                pi = int(ps[s])
+                sel = order[s:e]
+                pp = prepared.get(pi)
+                if pp is None:
+                    if len(prepared) > 4096:
+                        prepared.clear()
+                    pp = gpred.PreparedPolygon(gc.from_wkb(blobs[pi]))
+                    prepared[pi] = pp
+                loc = pp.locate_batch(px_[sel], py_[sel])
+                keep[sel[loc != gpred.EXTERIOR]] = True
+            if keep.any():
+                hit = pdf[keep]
+                cols = {"page_id": hit["page_id"].to_numpy()}
+                if include_url:
+                    cols["url"] = hit["url"].to_numpy()
+                cols["poly_id"] = hit["poly_id"].to_numpy()
+                cols["cell_id"] = DEFAULT_GRID.encode_points(
+                    hit["x"].to_numpy(np.float64),
+                    hit["y"].to_numpy(np.float64),
+                    tile_level,
+                ) if grid is DEFAULT_GRID else grid.encode_points(
+                    hit["x"].to_numpy(np.float64),
+                    hit["y"].to_numpy(np.float64),
+                    tile_level,
+                )
+                yield pd.DataFrame(cols)
+
+    ring = ring_in.mapInPandas(refine, schema=out_schema)
+    return fast.unionByName(ring)
+
+
 def _candidate_rows(polys_rows, grid: CellGrid, level: int):
     """One row per (cover cell, polygon): the polygon's edge array and
     bbox, for the broadcast-join PIP plan (driver-side; the same
