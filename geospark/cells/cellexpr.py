@@ -40,6 +40,33 @@ def cell_xy_expr(x: Column, y: Column, level: int, grid: CellGrid) -> tuple:
     return ix, iy
 
 
+def _compact1by1_expr(v: Column) -> Column:
+    """Inverse of _part1by1_expr: gather even bit positions into the
+    low 32 bits (same ladder as cellid._compact1by1)."""
+    v = v.bitwiseAND(F.lit(0x5555555555555555))
+    v = (v.bitwiseOR(F.shiftright(v, 1))).bitwiseAND(F.lit(0x3333333333333333))
+    v = (v.bitwiseOR(F.shiftright(v, 2))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftright(v, 4))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = (v.bitwiseOR(F.shiftright(v, 8))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = (v.bitwiseOR(F.shiftright(v, 16))).bitwiseAND(F.lit(0x00000000FFFFFFFF))
+    return v
+
+
+def cell_ix_expr(cid: Column) -> Column:
+    """ix from a packed cell id (cellid.unpack in Catalyst)."""
+    return _compact1by1_expr(F.shiftrightunsigned(cid, 6))
+
+
+def cell_iy_expr(cid: Column) -> Column:
+    """iy from a packed cell id."""
+    return _compact1by1_expr(F.shiftrightunsigned(cid, 7))
+
+
+def cell_level_expr(cid: Column) -> Column:
+    """level from a packed cell id."""
+    return cid.bitwiseAND(F.lit(0x3F))
+
+
 def cell_id_expr(x: Column, y: Column, level: int, grid: CellGrid) -> Column:
     """Packed Z-order cell id for a point — cellid.pack in Catalyst."""
     if level > MAX_LEVEL:

@@ -14,9 +14,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
 
 from ..cells.cellid import DEFAULT_GRID, CellGrid
 
@@ -82,8 +80,8 @@ def rasterize(
     """Aggregate point values onto the cell raster at `level`:
     (cell_id, ix, iy, value).  The raster is just a DataFrame keyed by
     cell — at 100 TB it stays distributed; collect only per-tile
-    windows."""
-    from ..cells.cellid import unpack
+    windows.  Encode, aggregate, and unpack are all JVM-side."""
+    from ..cells.cellexpr import cell_ix_expr, cell_iy_expr
 
     d = assign_tiles(df, x_col, y_col, level, grid)
     if agg == "count":
@@ -95,13 +93,11 @@ def rasterize(
     else:
         raise ValueError(agg)
 
-    @F.pandas_udf("ix long, iy long")
-    def coords(c: pd.Series) -> pd.DataFrame:
-        _, ix, iy = unpack(c.to_numpy(np.int64))
-        return pd.DataFrame({"ix": ix, "iy": iy})
-
-    return r.withColumn("__c", coords("cell_id")).select(
-        "cell_id", F.col("__c.ix").alias("ix"), F.col("__c.iy").alias("iy"), "value"
+    return r.select(
+        "cell_id",
+        cell_ix_expr(F.col("cell_id")).alias("ix"),
+        cell_iy_expr(F.col("cell_id")).alias("iy"),
+        "value",
     )
 
 

@@ -100,8 +100,10 @@ WHERE p.x >= b.bxmin AND p.x <= b.bxmin + 2500
 
 def q_tile_assign(spark, sf_dir) -> DataFrame:
     """Tile assignment through the Z-order cell encoder (exact 1000 m
-    tiles over a power-of-two span so ix == floor(x/1000))."""
-    from .cells.cellid import unpack
+    tiles over a power-of-two span so ix == floor(x/1000)).  Encode
+    AND unpack are Catalyst expressions — the whole query is one
+    whole-stage-codegen projection, zero python workers."""
+    from .cells.cellexpr import cell_ix_expr, cell_iy_expr
     from .ops.tiling import assign_tiles
 
     d = _t(spark, sf_dir, "documents").select(
@@ -110,17 +112,13 @@ def q_tile_assign(spark, sf_dir) -> DataFrame:
         ((F.col("doc_id") * 104729) % 100000).cast("double").alias("y"),
     )
     t = assign_tiles(d, level=TILE_LEVEL, grid=TILE_GRID)
-
-    @F.pandas_udf("tile_ix long, tile_iy long")
-    def coords(c: pd.Series) -> pd.DataFrame:
-        _, ix, iy = unpack(c.to_numpy(np.int64))
-        return pd.DataFrame({"tile_ix": ix, "tile_iy": iy})
-
-    return t.withColumn("__c", coords("cell_id")).select(
+    return t.select(
         "doc_id",
-        F.col("__c.tile_ix").alias("tile_ix"),
-        F.col("__c.tile_iy").alias("tile_iy"),
-        (F.col("__c.tile_ix") * 1024 + F.col("__c.tile_iy")).alias("tile_id"),
+        cell_ix_expr(F.col("cell_id")).alias("tile_ix"),
+        cell_iy_expr(F.col("cell_id")).alias("tile_iy"),
+        (cell_ix_expr(F.col("cell_id")) * 1024 + cell_iy_expr(F.col("cell_id"))).alias(
+            "tile_id"
+        ),
     )
 
 

@@ -143,3 +143,28 @@ def test_cell_id_expr_matches_numpy(spark):
             )
             want = grid.encode_points(x, y, level)
             assert (got == want).all()
+
+
+def test_cell_unpack_expr_matches_numpy(spark):
+    """Catalyst ix/iy/level decode matches cellid.unpack."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geospark.cells.cellexpr import cell_ix_expr, cell_iy_expr, cell_level_expr
+    from geospark.cells.cellid import DEFAULT_GRID, unpack
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1e6, 3e6, 4000)
+    y = rng.uniform(-1e6, 3e6, 4000)
+    cids = DEFAULT_GRID.encode_points(x, y, 16)
+    df = spark.createDataFrame(pd.DataFrame({"c": cids}))
+    got = df.select(
+        cell_ix_expr(F.col("c")).alias("ix"),
+        cell_iy_expr(F.col("c")).alias("iy"),
+        cell_level_expr(F.col("c")).alias("lvl"),
+    ).toPandas()
+    lvl, ix, iy = unpack(cids)
+    assert (got["ix"].to_numpy() == ix).all()
+    assert (got["iy"].to_numpy() == iy).all()
+    assert (got["lvl"].to_numpy() == lvl).all()
