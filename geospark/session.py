@@ -9,6 +9,7 @@ for cluster runs via SPARK_GRAFT_* env vars.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -40,5 +41,14 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # saveAsTable targets (bucketed tables, ops/bucketing.py) must
+        # never land in the launch cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "geospark_warehouse"),
+            ),
+        )
     )
     return b.getOrCreate()

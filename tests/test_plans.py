@@ -80,3 +80,52 @@ def test_make_grid_is_pure_codegen(spark):
 @pytest.fixture(scope="module")
 def sf_dir_001():
     return "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located joins: two tables bucketed by cell_id at the same
+    bucket count join as a SortMergeJoin with ZERO Exchange operators
+    — the shuffle-elimination layout for repeated large×large joins."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geospark.ops.bucketing import bucketed_join, write_bucketed
+    from geospark.ops.tiling import assign_tiles
+
+    root = tempfile.mkdtemp(prefix="geospark_bucketed_")
+    try:
+        pts = spark.range(20000).select(
+            F.col("id"),
+            ((F.col("id") * 7919) % 100000).cast("double").alias("x"),
+            ((F.col("id") * 104729) % 100000).cast("double").alias("y"),
+        )
+        a = assign_tiles(pts, level=10).select("id", "cell_id")
+        b = (
+            assign_tiles(pts, level=10)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        write_bucketed(a, "t_feat_b", "cell_id", 8, path=f"{root}/a")
+        write_bucketed(b, "t_roll_b", "cell_id", 8, path=f"{root}/b")
+        j = bucketed_join(spark, "t_feat_b", "t_roll_b", "cell_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the join is correct: every feature row finds its rollup
+        assert j.count() == 20000
+        # control: the same join from UNBUCKETED data shuffles
+        au = spark.read.parquet(f"{root}/a")
+        bu = spark.read.parquet(f"{root}/b")
+        plan_u = (
+            au.hint("merge").join(bu, "cell_id")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" in plan_u
+    finally:
+        for t in ("t_feat_b", "t_roll_b"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        shutil.rmtree(root, ignore_errors=True)
