@@ -30,13 +30,20 @@ def _part1by1_expr(v: Column) -> Column:
 
 def cell_xy_expr(x: Column, y: Column, level: int, grid: CellGrid) -> tuple:
     """(ix, iy) cell coordinates at `level` — mirrors CellGrid.cell_xy
-    exactly: (x - x0)/span * 2^level, truncate toward zero (double→long
-    cast, same as numpy .astype), clip to [0, 2^level)."""
+    exactly: (x - x0)/span * 2^level, clamp to [0, 2^level) as a
+    DOUBLE, then truncate toward zero.
+
+    Clamping BEFORE the cast matters twice: under ANSI mode (Spark 4
+    default) an out-of-long-range double would make CAST throw rather
+    than saturate, and numpy's .astype wraps where a JVM cast
+    saturates — clamping first makes both engines saturate to the
+    domain edge for arbitrarily large out-of-domain coordinates
+    (cellid.cell_xy clips the float the same way)."""
     n = 1 << level
-    ix = ((x - F.lit(grid.x0)) / F.lit(grid.span) * F.lit(float(n))).cast("long")
-    iy = ((y - F.lit(grid.y0)) / F.lit(grid.span) * F.lit(float(n))).cast("long")
-    ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1))
-    iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1))
+    fx = (x - F.lit(grid.x0)) / F.lit(grid.span) * F.lit(float(n))
+    fy = (y - F.lit(grid.y0)) / F.lit(grid.span) * F.lit(float(n))
+    ix = F.least(F.greatest(fx, F.lit(0.0)), F.lit(float(n - 1))).cast("long")
+    iy = F.least(F.greatest(fy, F.lit(0.0)), F.lit(float(n - 1))).cast("long")
     return ix, iy
 
 

@@ -56,11 +56,18 @@ class CellGrid:
 
     # -- vectorized encoders ------------------------------------------
     def cell_xy(self, x: np.ndarray, y: np.ndarray, level: int) -> Tuple[np.ndarray, np.ndarray]:
+        # clamp the FLOAT before truncating: .astype(int64) wraps for
+        # doubles beyond int64 range (a huge positive coordinate would
+        # land in cell 0), while clip-then-truncate saturates to the
+        # domain edge — and matches the Catalyst encoder
+        # (cells/cellexpr.py), which must clamp pre-cast anyway to
+        # avoid ANSI cast overflow errors.  In-domain results are
+        # unchanged (clip is the identity there).
         n = 1 << level
         fx = (np.asarray(x, dtype=np.float64) - self.x0) / self.span
         fy = (np.asarray(y, dtype=np.float64) - self.y0) / self.span
-        ix = np.clip((fx * n).astype(np.int64), 0, n - 1)
-        iy = np.clip((fy * n).astype(np.int64), 0, n - 1)
+        ix = np.clip(fx * n, 0, n - 1).astype(np.int64)
+        iy = np.clip(fy * n, 0, n - 1).astype(np.int64)
         return ix, iy
 
     def encode_points(self, x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:

@@ -53,6 +53,43 @@ def _cached_index_bc(polys, poly_id, poly_geom, grid: CellGrid, level: int):
     return bc
 
 
+def _extract_points_jvm(pages: DataFrame, include_url: bool) -> DataFrame:
+    """JVM geocode extraction: one regexp pass over raw html inside
+    whole-stage codegen → (page_id[, url], x, y).  Shared by every
+    JVM-extracting flagship variant so the token format lives in one
+    place (byte-compatible with extract.geocode.geocode_pages)."""
+    html_str = F.col("html").cast("string")
+    tok = F.regexp_extract(html_str, r"geo:(-?\d+\.\d+,-?\d+\.\d+)", 1)
+    parts = F.split(tok, ",")
+    return (
+        pages.select(
+            "page_id",
+            *(["url"] if include_url else []),
+            tok.alias("__tok"),
+            parts.alias("__p"),
+        )
+        .where(F.col("__tok") != "")
+        .select(
+            "page_id",
+            *(["url"] if include_url else []),
+            F.col("__p")[0].cast("double").alias("x"),
+            F.col("__p")[1].cast("double").alias("y"),
+        )
+    )
+
+
+def _out_schema(polys: DataFrame, poly_id: str, include_url: bool) -> StructType:
+    """(page_id[, url], poly_id, cell_id) — the flagship output schema."""
+    fields = [StructField("page_id", LongType())]
+    if include_url:
+        fields.append(StructField("url", StringType()))
+    fields += [
+        StructField("poly_id", polys.schema[poly_id].dataType),
+        StructField("cell_id", LongType()),
+    ]
+    return StructType(fields)
+
+
 def build_cell_index(polys_rows, grid: CellGrid, level: int):
     """cell id → int32 indexes into the polygon arrays, in CSR layout
     (sorted keys + member slices) so the probe resolves every cell of
@@ -175,14 +212,7 @@ def geocode_pip_tile(
             "poly_id", "cell_id",
         )
     bc = _cached_index_bc(polys, poly_id, poly_geom, grid, level)
-    fields = [StructField("page_id", LongType())]
-    if include_url:
-        fields.append(StructField("url", StringType()))
-    fields += [
-        StructField("poly_id", polys.schema[poly_id].dataType),
-        StructField("cell_id", LongType()),
-    ]
-    out_schema = StructType(fields)
+    out_schema = _out_schema(polys, poly_id, include_url)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = bc.value
@@ -284,25 +314,7 @@ def geocode_pip_tile_jvm(
     if use_broadcast:
         bc = _cached_index_bc(polys, poly_id, poly_geom, grid, level)
 
-    html_str = F.col("html").cast("string")
-    # one regex pass; split the captured "x,y" pair afterwards
-    tok = F.regexp_extract(html_str, r"geo:(-?\d+\.\d+,-?\d+\.\d+)", 1)
-    parts = F.split(tok, ",")
-    pts = (
-        pages.select(
-            "page_id",
-            *(["url"] if include_url else []),
-            tok.alias("__tok"),
-            parts.alias("__p"),
-        )
-        .where(F.col("__tok") != "")
-        .select(
-            "page_id",
-            *(["url"] if include_url else []),
-            F.col("__p")[0].cast("double").alias("x"),
-            F.col("__p")[1].cast("double").alias("y"),
-        )
-    )
+    pts = _extract_points_jvm(pages, include_url)
     if not use_broadcast:
         out = pip_join(
             pts, polys, point_id="page_id", x_col="x", y_col="y",
@@ -316,14 +328,7 @@ def geocode_pip_tile_jvm(
             "poly_id", "cell_id",
         )
 
-    fields = [StructField("page_id", LongType())]
-    if include_url:
-        fields.append(StructField("url", StringType()))
-    fields += [
-        StructField("poly_id", polys.schema[poly_id].dataType),
-        StructField("cell_id", LongType()),
-    ]
-    out_schema = StructType(fields)
+    out_schema = _out_schema(polys, poly_id, include_url)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = bc.value
@@ -490,24 +495,8 @@ def geocode_pip_tile_hybrid(
     )
     bc_wkbs = spark.sparkContext.broadcast(wkbs)
 
-    html_str = F.col("html").cast("string")
-    tok = F.regexp_extract(html_str, r"geo:(-?\d+\.\d+,-?\d+\.\d+)", 1)
-    parts = F.split(tok, ",")
-    pts = (
-        pages.select(
-            "page_id",
-            *(["url"] if include_url else []),
-            tok.alias("__tok"),
-            parts.alias("__p"),
-        )
-        .where(F.col("__tok") != "")
-        .select(
-            "page_id",
-            *(["url"] if include_url else []),
-            F.col("__p")[0].cast("double").alias("x"),
-            F.col("__p")[1].cast("double").alias("y"),
-        )
-        .withColumn("__cell", cell_id_expr(F.col("x"), F.col("y"), level, grid))
+    pts = _extract_points_jvm(pages, include_url).withColumn(
+        "__cell", cell_id_expr(F.col("x"), F.col("y"), level, grid)
     )
     px, py = F.col("x"), F.col("y")
     j = pts.join(F.broadcast(cand), "__cell").where(
@@ -531,14 +520,7 @@ def geocode_pip_tile_hybrid(
     ring_in = j.where(~in_inner).select(
         "page_id", *(["url"] if include_url else []), "x", "y", "poly_id", "__pidx"
     )
-    fields = [StructField("page_id", LongType())]
-    if include_url:
-        fields.append(StructField("url", StringType()))
-    fields += [
-        StructField("poly_id", polys.schema[poly_id].dataType),
-        StructField("cell_id", LongType()),
-    ]
-    out_schema = StructType(fields)
+    out_schema = _out_schema(polys, poly_id, include_url)
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         blobs = bc_wkbs.value
@@ -570,11 +552,7 @@ def geocode_pip_tile_hybrid(
                 if include_url:
                     cols["url"] = hit["url"].to_numpy()
                 cols["poly_id"] = hit["poly_id"].to_numpy()
-                cols["cell_id"] = DEFAULT_GRID.encode_points(
-                    hit["x"].to_numpy(np.float64),
-                    hit["y"].to_numpy(np.float64),
-                    tile_level,
-                ) if grid is DEFAULT_GRID else grid.encode_points(
+                cols["cell_id"] = grid.encode_points(
                     hit["x"].to_numpy(np.float64),
                     hit["y"].to_numpy(np.float64),
                     tile_level,
@@ -684,24 +662,8 @@ def geocode_pip_tile_sql(
             "__bxmin", "__bymin", "__bxmax", "__bymax",
         )
 
-    html_str = F.col("html").cast("string")
-    tok = F.regexp_extract(html_str, r"geo:(-?\d+\.\d+,-?\d+\.\d+)", 1)
-    parts = F.split(tok, ",")
-    pts = (
-        pages.select(
-            "page_id",
-            *(["url"] if include_url else []),
-            tok.alias("__tok"),
-            parts.alias("__p"),
-        )
-        .where(F.col("__tok") != "")
-        .select(
-            "page_id",
-            *(["url"] if include_url else []),
-            F.col("__p")[0].cast("double").alias("x"),
-            F.col("__p")[1].cast("double").alias("y"),
-        )
-        .withColumn("__cell", cell_id_expr(F.col("x"), F.col("y"), level, grid))
+    pts = _extract_points_jvm(pages, include_url).withColumn(
+        "__cell", cell_id_expr(F.col("x"), F.col("y"), level, grid)
     )
     px, py = F.col("x"), F.col("y")
     return (

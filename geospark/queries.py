@@ -865,7 +865,14 @@ def q_fingerprint_dups(spark, sf_dir) -> DataFrame:
     fingerprints (guaranteed to include every pair with a sufficiently
     long literal overlap).  groupBy-fingerprint + skew-spread pair
     explosion — no self-join; oracle is the quadratic reference join
-    over the identical fingerprint set."""
+    over the identical fingerprint set.
+
+    Deliberately uncapped (max_bucket=None) so the result is EXACT and
+    oracle-replayable — the same policy as minhash_pairs/jaccard_pairs
+    driver rows.  At production scale SET max_bucket: one boilerplate
+    fingerprint shared by B documents contributes O(B²) pairs (the
+    skew-spread explosion bounds per-task work, not total volume; see
+    the 150M-pair analysis in BENCH/BASELINE.md)."""
     from .text.fingerprint import fingerprint_overlap_pairs
 
     return fingerprint_overlap_pairs(_t(spark, sf_dir, "documents"), min_common=20)

@@ -42,12 +42,16 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # saveAsTable targets (bucketed tables, ops/bucketing.py) must
-        # never land in the launch cwd
+        # never land in the launch cwd; uid-scoped so two users on one
+        # host don't collide on a sticky-bit /tmp directory
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
                 "SPARK_GRAFT_WAREHOUSE",
-                os.path.join(tempfile.gettempdir(), "geospark_warehouse"),
+                os.path.join(
+                    tempfile.gettempdir(),
+                    f"geospark_warehouse_{getattr(os, 'getuid', lambda: 0)()}",
+                ),
             ),
         )
     )

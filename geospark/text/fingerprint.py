@@ -121,6 +121,10 @@ def fingerprint_overlap_pairs(
     fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(id_col, "fp").distinct()
     groups = fps.groupBy("fp").agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
     if max_bucket is not None:
+        # persist before the oversized-count action, or the whole
+        # winnowing pipeline (explode + md5 + window) runs twice —
+        # once for the log line, once for the real pair explosion
+        groups = groups.persist()
         oversized = groups.where(F.size("__ids") > max_bucket).count()
         if oversized:
             import logging

@@ -133,6 +133,11 @@ def test_cell_id_expr_matches_numpy(spark):
     rng = np.random.default_rng(3)
     x = rng.uniform(-2e6, 3e6, 5000)
     y = rng.uniform(-2e6, 3e6, 5000)
+    # extreme out-of-domain values: both engines must SATURATE to the
+    # domain edge (clamp-before-cast; numpy astype would wrap, ANSI
+    # cast would throw)
+    x[:4] = [1e30, -1e30, 4e18, -4e18]
+    y[:4] = [-1e30, 1e30, -4e18, 4e18]
     df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
     for grid in (DEFAULT_GRID, CellGrid(0.0, 0.0, 1024000.0)):
         for level in (0, 7, 14, 28):
