@@ -154,3 +154,53 @@ def test_watermark_drops_late_data(spark, tmp_path):
     noon = got[got.window_start == base]["n_events"]
     # the late 12:01 event must NOT bump the finalized 12:00 window
     assert noon.sum() == 2, got.to_string()
+
+
+def test_dedup_stream_drops_exact_rearrivals(spark, tmp_path):
+    """Streaming first-arrival dedup: duplicate texts across
+    micro-batches within the watermark horizon are dropped; distinct
+    texts pass through.  Batch twin produces the same text set."""
+    import pandas as pd
+
+    from geospark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "docs_src")
+    rows1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta", "gamma delta", "alpha beta"],
+            "ts": pd.to_datetime(
+                ["2026-01-01 10:00:00", "2026-01-01 10:00:10", "2026-01-01 10:00:20"]
+            ),
+        }
+    )
+    rows2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": ["alpha beta", "epsilon zeta"],  # 4 is a re-arrival
+            "ts": pd.to_datetime(["2026-01-01 10:01:00", "2026-01-01 10:01:10"]),
+        }
+    )
+    spark.createDataFrame(rows1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        dedup_stream(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out").toPandas()
+    # one row per distinct text; first arrival kept
+    assert sorted(got["text"]) == ["alpha beta", "epsilon zeta", "gamma delta"]
+    # batch twin parity on the text set
+    batch = dedup_stream(
+        spark.read.parquet(src), watermark="10 minutes"
+    ).toPandas()
+    assert sorted(batch["text"]) == sorted(got["text"])
