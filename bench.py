@@ -99,9 +99,10 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
         # envelope query, multimodal plumbing
         "simhash_dups", "cosine_dups", "ann_lsh", "ann_ivf", "sessions",
         "range_query", "media_features", "audio_features", "frame_sample",
-        # winnowing fingerprints + regex token counting + cleaning pass
-        "fingerprint_winnow", "fingerprint_dups", "token_stats",
-        "corpus_clean",
+        # winnowing fingerprints (exact + production-guarded) + regex
+        # token counting + cleaning pass
+        "fingerprint_winnow", "fingerprint_dups", "fingerprint_dups_capped",
+        "token_stats", "corpus_clean",
     ]
     for name in headline:
         try:
@@ -114,25 +115,6 @@ def run(sf_dir: str, cpus: int, n_pages: int, n_districts: int = 2000):
             timings[name] = round(best, 3)
         except Exception as e:
             timings[name] = f"FAIL:{type(e).__name__}"
-
-    # production-mode twin of fingerprint_dups: the max_bucket
-    # boilerplate guard ON (the driver row stays exact/uncapped so its
-    # oracle replays; this entry shows what the guard buys at scale)
-    try:
-        from geospark.text.fingerprint import fingerprint_overlap_pairs
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        best = None
-        for _ in range(max(q_runs, 1)):
-            t0 = time.time()
-            fingerprint_overlap_pairs(docs, min_common=20, max_bucket=1000).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings["fingerprint_dups_capped"] = round(best, 3)
-    except Exception as e:
-        timings["fingerprint_dups_capped"] = f"FAIL:{type(e).__name__}"
 
     pages_per_sec = n_pages / flagship_sec
     out = {

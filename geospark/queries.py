@@ -548,6 +548,12 @@ def _fingerprint_dups_sql() -> str:
     return overlap_pairs_sql(min_common=20)
 
 
+def _fingerprint_dups_capped_sql() -> str:
+    from .text.fingerprint import overlap_pairs_sql
+
+    return overlap_pairs_sql(min_common=5, max_bucket=50)
+
+
 def _minhash_sql() -> str:
     from .text.dedup import MINHASH_A, MINHASH_B, MERSENNE
 
@@ -872,10 +878,25 @@ def q_fingerprint_dups(spark, sf_dir) -> DataFrame:
     driver rows.  At production scale SET max_bucket: one boilerplate
     fingerprint shared by B documents contributes O(B²) pairs (the
     skew-spread explosion bounds per-task work, not total volume; see
-    the 150M-pair analysis in BENCH/BASELINE.md)."""
+    the 150M-pair analysis in BENCH/BASELINE.md).  The guarded
+    production mode has its own exact driver row
+    (`fingerprint_dups_capped`) — the cap is a deterministic filter,
+    so it replays in SQL too."""
     from .text.fingerprint import fingerprint_overlap_pairs
 
     return fingerprint_overlap_pairs(_t(spark, sf_dir, "documents"), min_common=20)
+
+
+def q_fingerprint_dups_capped(spark, sf_dir) -> DataFrame:
+    """The PRODUCTION fingerprint near-dup mode: max_bucket=50 drops
+    boilerplate fingerprint buckets before pairing (8× faster than the
+    exact form at sf0.1; see BENCH/BASELINE.md).  Still oracle-exact —
+    the cap is a deterministic bucket-size filter the SQL replays."""
+    from .text.fingerprint import fingerprint_overlap_pairs
+
+    return fingerprint_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_common=5, max_bucket=50
+    )
 
 
 # BPE-ish regex tokenizer: letter runs, ≤3-digit number chunks (the
@@ -1830,6 +1851,7 @@ def registry() -> Dict[str, Callable]:
         "lang_id": q_lang_id,
         "fingerprint_winnow": q_fingerprint_winnow,
         "fingerprint_dups": q_fingerprint_dups,
+        "fingerprint_dups_capped": q_fingerprint_dups_capped,
         "token_stats": q_token_stats,
         "corpus_clean": q_corpus_clean,
         "pipeline_resume": q_pipeline_resume,
@@ -1915,6 +1937,7 @@ def oracles() -> Dict[str, str]:
         "lang_id": _langid_sql(),
         "fingerprint_winnow": _fingerprint_winnow_sql(),
         "fingerprint_dups": _fingerprint_dups_sql(),
+        "fingerprint_dups_capped": _fingerprint_dups_capped_sql(),
         "token_stats": Q_TOKEN_STATS_SQL,
         "corpus_clean": _corpus_clean_sql(),
         "pipeline_resume": Q_PIPELINE_RESUME_SQL,

@@ -178,11 +178,29 @@ FROM wm WHERE cnt = {w}
 """
 
 
-def overlap_pairs_sql(k: int = 5, w: int = 8, min_common: int = 2, table: str = "documents") -> str:
-    """DuckDB oracle: quadratic reference join over the same fingerprints."""
+def overlap_pairs_sql(
+    k: int = 5,
+    w: int = 8,
+    min_common: int = 2,
+    table: str = "documents",
+    max_bucket: int = None,
+) -> str:
+    """DuckDB oracle: quadratic reference join over the same
+    fingerprints.  max_bucket replays the boilerplate guard exactly
+    (fingerprint buckets holding more than max_bucket documents are
+    excluded before pairing), so the PRODUCTION guarded mode has an
+    exact oracle too — the guard is a deterministic filter, not an
+    approximation."""
+    cap = (
+        f""",
+kept AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {max_bucket}),
+fpk AS (SELECT f.* FROM fp f JOIN kept USING (fp))"""
+        if max_bucket is not None
+        else ",\nfpk AS (SELECT * FROM fp)"
+    )
     return f"""
-WITH fp AS (SELECT DISTINCT doc_id, fp FROM ({winnow_sql(k, w, table)}))
+WITH fp AS (SELECT DISTINCT doc_id, fp FROM ({winnow_sql(k, w, table)})){cap}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
-FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_common}
 """
