@@ -171,3 +171,71 @@ def test_predicates_consistent_with_de9im(ra, rb):
     covers_masks = ["T*****FF*", "*T****FF*", "***T**FF*", "****T*FF*"]
     assert P2.covers(a, b) == any(relates(a, b, mk) for mk in covers_masks)
     assert P2.contains(a, b) == relates(a, b, "T*****FF*")
+
+
+# ---------------------------------------------------------------------------
+# winnowing (text/fingerprint.py): the composite-key window-min
+# formulation must equal the textbook definition (Schleimer et al.
+# SIGMOD'03: every window selects its RIGHTMOST minimum), and the
+# guarantee must hold.  Pure-python mirrors of both formulations using
+# the same md5 arithmetic as the Spark/DuckDB implementations.
+# ---------------------------------------------------------------------------
+
+def _kgram_hashes_py(text, k):
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(text[i : i + k].encode()).digest()[:4], "big")
+        for i in range(len(text) - k + 1)
+    ]
+
+
+def _winnow_textbook(text, k, w):
+    hs = _kgram_hashes_py(text, k)
+    sel = set()
+    for s in range(0, len(hs) - w + 1):
+        window = hs[s : s + w]
+        m = min(window)
+        p = max(j for j in range(w) if window[j] == m)  # rightmost min
+        sel.add((s + p + 1, m))  # 1-based k-gram position
+    return sel
+
+
+def _winnow_keyform(text, k, w):
+    POS = 2**31
+    hs = _kgram_hashes_py(text, k)
+    keys = [h * POS + (POS - 1 - (i + 1)) for i, h in enumerate(hs)]
+    sel = set()
+    for s in range(0, len(keys) - w + 1):
+        mk = min(keys[s : s + w])
+        sel.add((POS - 1 - (mk % POS), mk >> 31))
+    return sel
+
+
+@given(
+    st.text(alphabet="abcd", min_size=12, max_size=120),
+    st.integers(2, 6),
+    st.integers(2, 10),
+)
+@settings(max_examples=200)
+def test_winnow_keyform_equals_textbook(text, k, w):
+    if len(text) < k + w - 1:
+        return
+    assert _winnow_keyform(text, k, w) == _winnow_textbook(text, k, w)
+
+
+@given(st.text(alphabet="abcdefgh", min_size=20, max_size=60), st.data())
+@settings(max_examples=100)
+def test_winnow_guarantee(shared, data):
+    """Any two texts sharing a substring of length >= w+k-1 share at
+    least one fingerprint hash (the winnowing guarantee)."""
+    k, w = 5, 8
+    if len(shared) < k + w - 1:
+        return
+    pre = data.draw(st.text(alphabet="xyz", min_size=0, max_size=40))
+    post = data.draw(st.text(alphabet="uvw", min_size=0, max_size=40))
+    a = pre + shared
+    b = shared + post
+    fa = {h for _, h in _winnow_keyform(a, k, w)}
+    fb = {h for _, h in _winnow_keyform(b, k, w)}
+    assert fa & fb

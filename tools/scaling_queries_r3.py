@@ -105,6 +105,21 @@ def main():
         .write.format("noop").mode("overwrite").save()
     )
 
+    # ---- winnowing fingerprints + capped overlap pairs, same 1M docs ---
+    from geospark.text.fingerprint import (
+        fingerprint_overlap_pairs,
+        winnow_fingerprints,
+    )
+
+    out["winnow_1M"] = best_of(
+        lambda: winnow_fingerprints(docs)
+        .write.format("noop").mode("overwrite").save()
+    )
+    out["fp_dups_1M_capped"] = best_of(
+        lambda: fingerprint_overlap_pairs(docs, min_common=5, max_bucket=2000)
+        .write.format("noop").mode("overwrite").save()
+    )
+
     print(json.dumps(out))
     spark.stop()
 
