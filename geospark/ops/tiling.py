@@ -11,7 +11,6 @@ to per-tile aggregate grids and back.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F

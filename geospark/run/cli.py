@@ -18,8 +18,6 @@ stage.
 from __future__ import annotations
 
 import argparse
-import os
-import sys
 
 
 def main(argv=None):
