@@ -40,8 +40,10 @@ def cell_xy_expr(x: Column, y: Column, level: int, grid: CellGrid) -> tuple:
     domain edge for arbitrarily large out-of-domain coordinates
     (cellid.cell_xy clips the float the same way)."""
     n = 1 << level
-    fx = (x - F.lit(grid.x0)) / F.lit(grid.span) * F.lit(float(n))
-    fy = (y - F.lit(grid.y0)) / F.lit(grid.span) * F.lit(float(n))
+    # nanvl first: Spark orders NaN LARGEST, so least/greatest would
+    # clamp NaN to the far corner while numpy maps it to cell 0
+    fx = F.nanvl((x - F.lit(grid.x0)) / F.lit(grid.span) * F.lit(float(n)), F.lit(0.0))
+    fy = F.nanvl((y - F.lit(grid.y0)) / F.lit(grid.span) * F.lit(float(n)), F.lit(0.0))
     ix = F.least(F.greatest(fx, F.lit(0.0)), F.lit(float(n - 1))).cast("long")
     iy = F.least(F.greatest(fy, F.lit(0.0)), F.lit(float(n - 1))).cast("long")
     return ix, iy

@@ -63,11 +63,13 @@ class CellGrid:
         # (cells/cellexpr.py), which must clamp pre-cast anyway to
         # avoid ANSI cast overflow errors.  In-domain results are
         # unchanged (clip is the identity there).
+        # NaN → cell 0 (np.clip passes NaN through and astype(NaN) is
+        # INT64_MIN, a wild index for array-indexing callers)
         n = 1 << level
         fx = (np.asarray(x, dtype=np.float64) - self.x0) / self.span
         fy = (np.asarray(y, dtype=np.float64) - self.y0) / self.span
-        ix = np.clip(fx * n, 0, n - 1).astype(np.int64)
-        iy = np.clip(fy * n, 0, n - 1).astype(np.int64)
+        ix = np.clip(np.nan_to_num(fx * n, nan=0.0), 0, n - 1).astype(np.int64)
+        iy = np.clip(np.nan_to_num(fy * n, nan=0.0), 0, n - 1).astype(np.int64)
         return ix, iy
 
     def encode_points(self, x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:

@@ -1681,8 +1681,9 @@ def q_tile_rollup(spark, sf_dir) -> DataFrame:
     (streaming/windows.py — identical code path batch/stream): events
     → synthetic points → Z-order tiles → 1-hour windowed per-tile
     counts.  Tile ids decode to floor arithmetic, windows align to
-    epoch hours, so the oracle is closed-form."""
-    from .cells.cellid import unpack
+    epoch hours, so the oracle is closed-form.  Encode and decode are
+    both Catalyst (cells/cellexpr.py) — zero python workers."""
+    from .cells.cellexpr import cell_ix_expr, cell_iy_expr
     from .streaming.windows import stream_tile_counts
 
     e = _t(spark, sf_dir, "events").select(
@@ -1691,16 +1692,10 @@ def q_tile_rollup(spark, sf_dir) -> DataFrame:
         ((F.col("event_id") * 104729) % 100000).cast("double").alias("y"),
     )
     t = stream_tile_counts(e, "ts", level=TILE_LEVEL, window="1 hour", grid=TILE_GRID)
-
-    @F.pandas_udf("tile_ix long, tile_iy long")
-    def coords(c: pd.Series) -> pd.DataFrame:
-        _, ix, iy = unpack(c.to_numpy(np.int64))
-        return pd.DataFrame({"tile_ix": ix, "tile_iy": iy})
-
-    return t.withColumn("__c", coords("cell_id")).select(
+    return t.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        F.col("__c.tile_ix").alias("tile_ix"),
-        F.col("__c.tile_iy").alias("tile_iy"),
+        cell_ix_expr(F.col("cell_id")).alias("tile_ix"),
+        cell_iy_expr(F.col("cell_id")).alias("tile_iy"),
         F.col("n").cast("long").alias("n"),
     )
 

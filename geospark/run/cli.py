@@ -29,12 +29,17 @@ def main(argv=None):
     ap.add_argument("--docs", help="documents parquet path (text mode)")
     ap.add_argument(
         "--max-bucket", type=int, default=1000,
-        help="text mode: MinHash bucket-size skew guard (boilerplate)",
+        help="text mode: bucket-size skew guard applied to BOTH the "
+        "MinHash and fingerprint-overlap stages (boilerplate)",
     )
     ap.add_argument("--out", required=True, help="catalog root directory")
     ap.add_argument("--run-id", default="flagship")
     ap.add_argument("--tile-level", type=int, default=14)
     args = ap.parse_args(argv)
+    # validate BEFORE any Spark work: a usage error must not pay JVM
+    # startup or create the catalog root directory
+    if args.mode == "text" and not args.docs:
+        ap.error("--mode text requires --docs")
 
     from pyspark.sql import SparkSession
 
@@ -51,8 +56,6 @@ def main(argv=None):
     pipe = Pipeline(spark, catalog, args.run_id)
 
     if args.mode == "text":
-        if not args.docs:
-            ap.error("--mode text requires --docs")
         from pyspark.sql import functions as F
 
         from geospark.text.dedup import exact_dedup, minhash_lsh_pairs

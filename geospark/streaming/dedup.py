@@ -30,14 +30,23 @@ def dedup_stream(
 ) -> DataFrame:
     """Keep the first arrival per exact text hash within the watermark
     horizon.  Streaming frames use dropDuplicatesWithinWatermark
-    (state expires with the watermark); batch frames fall back to
-    plain dropDuplicates on the hash — the batch twin used for parity
-    testing."""
+    (state expires with the watermark); batch frames keep the
+    DETERMINISTIC first arrival — earliest ts, remaining columns as
+    tiebreak — so the batch twin emits the same surviving rows as the
+    stream, not an arbitrary partition-order pick."""
     d = docs.withColumn("__h", F.md5(F.col(text_col)))
     if d.isStreaming:
         d = d.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         d = d.withWatermark(ts_col, watermark)
         out = d.dropDuplicatesWithinWatermark(["__h"])
     else:
-        out = d.dropDuplicates(["__h"])
+        from pyspark.sql import Window
+
+        tiebreak = [c for c in sorted(docs.columns) if c != ts_col]
+        w = Window.partitionBy("__h").orderBy(F.col(ts_col), *tiebreak)
+        out = (
+            d.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return out.drop("__h")

@@ -173,3 +173,27 @@ def test_cell_unpack_expr_matches_numpy(spark):
     assert (got["ix"].to_numpy() == ix).all()
     assert (got["iy"].to_numpy() == iy).all()
     assert (got["lvl"].to_numpy() == lvl).all()
+
+
+def test_cell_encode_nan_maps_to_cell_zero(spark):
+    """NaN coordinates map to cell (0,0) in BOTH engines (numpy astype
+    of NaN is INT64_MIN; Spark orders NaN largest — both are guarded)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geospark.cells.cellexpr import cell_id_expr
+    from geospark.cells.cellid import DEFAULT_GRID
+
+    x = np.array([np.nan, 1000.0, np.nan])
+    y = np.array([np.nan, np.nan, 2000.0])
+    ix, iy = DEFAULT_GRID.cell_xy(x, y, 14)
+    assert (ix >= 0).all() and (iy >= 0).all()
+    want = DEFAULT_GRID.encode_points(x, y, 14)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+    got = (
+        df.select(cell_id_expr(F.col("x"), F.col("y"), 14, DEFAULT_GRID).alias("c"))
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    assert (got == want).all()
