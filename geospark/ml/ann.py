@@ -246,10 +246,17 @@ def ivf_topk_deterministic(
     )
 
 
-def _cosine_near_dups_matmul(c: DataFrame, threshold: float) -> DataFrame:
-    """Broadcast-matrix brute force: one corpus pass, B×N numpy sims
-    per Arrow batch, emit (id_a < id_b, sim ≥ t).  Each UNORDERED pair
-    is computed once on the side holding its smaller id."""
+def _cosine_near_dups_matmul(
+    c: DataFrame, threshold: float, chunk_doubles: int = 64_000_000
+) -> DataFrame:
+    """Broadcast-matrix brute force: one corpus pass, numpy sims per
+    Arrow batch, emit (id_a < id_b, sim ≥ t).  Each UNORDERED pair is
+    computed once on the side holding its smaller id.
+
+    The B×N sims matrix is computed in CORPUS-COLUMN CHUNKS so peak
+    per-batch memory is bounded by `chunk_doubles` float64s (~512 MB
+    default) independent of corpus size N — a 10k-row batch against a
+    500k corpus would otherwise allocate a 40 GB dense matrix."""
     rows = c.collect()
     ids = np.asarray([r[0] for r in rows])
     M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
@@ -275,20 +282,29 @@ def _cosine_near_dups_matmul(c: DataFrame, threshold: float) -> DataFrame:
             bids = pdf["__id"].to_numpy()
             B = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["__e"]])
             bnorm = np.maximum(np.sqrt((B * B).sum(axis=1)), 1e-300)
-            sims = np.round((B @ allM.T) / (bnorm[:, None] * allnorm[None, :]), 6)
-            # keep only columns with a LARGER id than the batch row's
-            # (id_a < id_b, each unordered pair once, no self pairs)
-            hit_r, hit_c = np.nonzero(
-                (sims >= threshold) & (bids[:, None] < all_ids[None, :])
-            )
-            if len(hit_r):
-                yield pd.DataFrame(
-                    {
-                        "id_a": bids[hit_r],
-                        "id_b": all_ids[hit_c],
-                        "sim": sims[hit_r, hit_c],
-                    }
+            step = max(1, chunk_doubles // max(len(B), 1))
+            for c0 in range(0, len(all_ids), step):
+                c1 = min(c0 + step, len(all_ids))
+                sims = np.round(
+                    (B @ allM[c0:c1].T)
+                    / (bnorm[:, None] * allnorm[None, c0:c1]),
+                    6,
                 )
+                # keep only columns with a LARGER id than the batch
+                # row's (id_a < id_b, each unordered pair once, no
+                # self pairs)
+                hit_r, hit_c = np.nonzero(
+                    (sims >= threshold)
+                    & (bids[:, None] < all_ids[None, c0:c1])
+                )
+                if len(hit_r):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": bids[hit_r],
+                            "id_b": all_ids[c0 + hit_c],
+                            "sim": sims[hit_r, hit_c],
+                        }
+                    )
 
     return c.mapInPandas(run, schema=out_schema)
 

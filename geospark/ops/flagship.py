@@ -31,17 +31,42 @@ from ..geom import predicates as gpred
 
 
 # broadcast-index reuse across calls on the SAME polygon DataFrame
-# object (DataFrames are immutable, so identity implies identical
-# data): a long-running job queries one dimension layer repeatedly and
-# should pay the collect + driver-side cover + broadcast ONCE, not per
-# query.  Weak keys: dropping the DataFrame drops its cached indexes.
+# object: a long-running job queries one dimension layer repeatedly
+# and should pay the collect + driver-side cover + broadcast ONCE, not
+# per query.  Weak keys: dropping the DataFrame drops its cached
+# indexes, and a finalizer DESTROYS the broadcasts at that point
+# (executor blocks are freed eagerly instead of waiting on driver GC +
+# ContextCleaner).
+#
+# CONTRACT: identity implies identical data only for DataFrames over
+# immutable sources.  A DataFrame whose underlying files are
+# re-written in place (overwritten parquet path, replaced temp view)
+# would return a STALE index — cached dimension tables must be backed
+# by immutable snapshots (the Iceberg-snapshot discipline the pipeline
+# runner already follows).
 import weakref
 
 _INDEX_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def _destroy_entries(per_df: dict) -> None:
+    for bc in per_df.values():
+        try:
+            bc.destroy(blocking=False)
+        except Exception:
+            pass
+    per_df.clear()
+
+
 def _cached_index_bc(polys, poly_id, poly_geom, grid: CellGrid, level: int):
-    per_df = _INDEX_CACHE.setdefault(polys, {})
+    per_df = _INDEX_CACHE.get(polys)
+    if per_df is None:
+        per_df = _INDEX_CACHE[polys] = {}
+        # fires when the DataFrame object is collected — the weak-key
+        # entry vanishes then too, so this is the last reference to
+        # the broadcasts; destroy them rather than leaking executor
+        # memory until the ContextCleaner notices
+        weakref.finalize(polys, _destroy_entries, per_df)
     key = (poly_id, poly_geom, grid.x0, grid.y0, grid.span, level)
     bc = per_df.get(key)
     if bc is None:
@@ -303,8 +328,11 @@ def geocode_pip_tile_jvm(
     broadcast_threshold = BROADCAST_MAX_BYTES
     if level is None:
         level = choose_level(polys, poly_geom, grid)
-    # a cache hit means the index was already built (and the gate
-    # passed) for this dimension table — skip the estimate job too
+    # a cache hit means the index already EXISTS for this dimension
+    # table — reusing it costs no new memory, so skip the estimate
+    # job regardless of which API built it (the kernel variant builds
+    # ungated by explicit user choice; the gate below only governs
+    # whether to pay for a NEW collect+broadcast)
     cached = polys in _INDEX_CACHE and (
         (poly_id, poly_geom, grid.x0, grid.y0, grid.span, level) in _INDEX_CACHE[polys]
     )

@@ -505,7 +505,11 @@ def _predicate_join_broadcast(
             ix1 = np.clip(np.floor((lenv[:, 2] - gx0) * inv), 0, nside - 1).astype(np.int64)
             iy0 = np.clip(np.floor((lenv[:, 1] - gy0) * inv), 0, nside - 1).astype(np.int64)
             iy1 = np.clip(np.floor((lenv[:, 3] - gy0) * inv), 0, nside - 1).astype(np.int64)
-            empty_mask = ~np.isfinite(lenv[:, 0])
+            # any non-finite coord (empty sentinel OR a NaN slipping
+            # through from bad input) must zero the row's cell count:
+            # NaN→int64 yields INT64_MIN and a NEGATIVE ny would make
+            # np.repeat throw
+            empty_mask = ~np.isfinite(lenv).all(axis=1)
             ny = iy1 - iy0 + 1
             cnt = np.where(empty_mask, 0, (ix1 - ix0 + 1) * ny)
             cum = np.cumsum(cnt)

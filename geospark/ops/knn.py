@@ -42,15 +42,27 @@ def _env_cells_udf(grid: CellGrid, level: int):
     def env_cells(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
         from ..cells.cellid import pack
 
-        ix0 = np.clip(np.floor((xmin.to_numpy(np.float64) - grid.x0) * inv), 0, n - 1).astype(np.int64)
-        ix1 = np.clip(np.floor((xmax.to_numpy(np.float64) - grid.x0) * inv), 0, n - 1).astype(np.int64)
-        iy0 = np.clip(np.floor((ymin.to_numpy(np.float64) - grid.y0) * inv), 0, n - 1).astype(np.int64)
-        iy1 = np.clip(np.floor((ymax.to_numpy(np.float64) - grid.y0) * inv), 0, n - 1).astype(np.int64)
+        # nan_to_num BEFORE floor/clip: clip passes NaN through and
+        # astype(NaN) is INT64_MIN → negative counts → np.repeat
+        # ValueError (same saturation rule as cellid.cell_xy)
+        def _idx(s: pd.Series) -> np.ndarray:
+            f = np.nan_to_num((s.to_numpy(np.float64) - grid.x0) * inv, nan=0.0)
+            return np.clip(np.floor(f), 0, n - 1).astype(np.int64)
+
+        def _idy(s: pd.Series) -> np.ndarray:
+            f = np.nan_to_num((s.to_numpy(np.float64) - grid.y0) * inv, nan=0.0)
+            return np.clip(np.floor(f), 0, n - 1).astype(np.int64)
+
+        ix0, ix1, iy0, iy1 = _idx(xmin), _idx(xmax), _idy(ymin), _idy(ymax)
         # flat construction, no per-row python loop: element j of row r
         # is cell (ix0[r] + j // ny[r], iy0[r] + j % ny[r]); ONE pack()
         # call over every cell of every row, then split at row offsets
         ny = iy1 - iy0 + 1
         cnt = (ix1 - ix0 + 1) * ny
+        if len(cnt) == 0:
+            # np.split(empty, []) returns ONE subarray — a 0-row Arrow
+            # batch must yield a length-0 Series, not length-1
+            return pd.Series([], dtype=object)
         cum = np.cumsum(cnt)
         total = int(cum[-1]) if len(cum) else 0
         row = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)

@@ -32,8 +32,17 @@ def dedup_stream(
     horizon.  Streaming frames use dropDuplicatesWithinWatermark
     (state expires with the watermark); batch frames keep the
     DETERMINISTIC first arrival — earliest ts, remaining columns as
-    tiebreak — so the batch twin emits the same surviving rows as the
-    stream, not an arbitrary partition-order pick."""
+    tiebreak.
+
+    Parity contract between the two modes: the SET of surviving text
+    hashes is identical (both drop every duplicate within the
+    horizon), but the surviving ROW per hash can differ when event
+    time disagrees with arrival order — the stream keeps the first
+    PROCESSING-TIME arrival, the batch twin the min-event-ts row, so
+    a late-arriving duplicate with an earlier ts survives in batch
+    but not in the stream (same text, possibly different doc_id).
+    Row-level parity holds exactly when event-time order == arrival
+    order.  Tests assert the text-set contract."""
     d = docs.withColumn("__h", F.md5(F.col(text_col)))
     if d.isStreaming:
         d = d.withColumn(ts_col, F.col(ts_col).cast("timestamp"))

@@ -106,6 +106,14 @@ def minhash_lsh_pairs(
         F.col("__bb.bucket").alias("bucket"),
     )
     if max_bucket is not None:
+        # persist before the guard-count action, or the shingle→
+        # minhash signature aggregation (the expensive shuffle stage)
+        # re-runs ~3×: once for the count, once joining sizes, once
+        # for the surviving-bucket groupBy (same discipline as
+        # fingerprint_overlap_pairs; bounded one-live-entry cache)
+        from ._guard import guard_persist
+
+        buckets = guard_persist("minhash_lsh_pairs", buckets)
         sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
         n_dropped = sizes.where(F.col("__n") > max_bucket).count()
         if n_dropped:

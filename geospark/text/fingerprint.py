@@ -36,9 +36,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 _POS_SPACE = 2_147_483_648  # 2^31
 _POS_MAX = _POS_SPACE - 1
 
-# the one live skew-guard cache (see fingerprint_overlap_pairs)
-_GUARD_CACHE = None
-
 
 def kgram_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
@@ -127,19 +124,10 @@ def fingerprint_overlap_pairs(
         # persist before the oversized-count action, or the whole
         # winnowing pipeline (explode + md5 + window) runs twice —
         # once for the log line, once for the real pair explosion.
-        # Bounded: at most ONE guard cache is live at a time — each
-        # call releases the previous call's (repeated bench/validator
-        # invocations would otherwise accumulate cached group tables
-        # for the session lifetime).
-        global _GUARD_CACHE
-        prev = _GUARD_CACHE
-        if prev is not None:
-            try:
-                prev.unpersist(blocking=False)
-            except Exception:
-                pass
-        groups = groups.persist()
-        _GUARD_CACHE = groups
+        # Bounded one-live-entry cache shared with minhash_lsh_pairs.
+        from ._guard import guard_persist
+
+        groups = guard_persist("fingerprint_overlap_pairs", groups)
         oversized = groups.where(F.size("__ids") > max_bucket).count()
         if oversized:
             import logging

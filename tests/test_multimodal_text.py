@@ -339,3 +339,35 @@ def test_fingerprint_overlap_pairs_max_bucket(spark):
     assert len(full) == 15  # all C(6,2) pairs
     capped = fingerprint_overlap_pairs(docs, min_common=1, max_bucket=3).toPandas()
     assert len(capped) == 0  # every bucket dropped by the guard
+
+
+def test_cosine_matmul_chunked_equals_unchunked(spark):
+    """Column-chunked matmul (bounded per-batch memory, ADVICE r3)
+    emits exactly the same pair set + sims as one dense B×N matrix."""
+    from pyspark.sql import functions as F
+
+    from geospark.ml.ann import _cosine_near_dups_matmul
+
+    rng = np.random.RandomState(7)
+    n, dim = 300, 16
+    base = rng.normal(size=(n, dim))
+    dups = base[:20] + rng.normal(scale=0.03, size=(20, dim))
+    corpus = np.vstack([base, dups])
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__id": np.arange(len(corpus)),
+                "embedding": [list(map(float, v)) for v in corpus],
+            }
+        )
+    ).select(
+        "__id", F.col("embedding").cast("array<double>").alias("__e")
+    )
+    one = _cosine_near_dups_matmul(e, 0.95).toPandas()
+    # chunk_doubles=4096 → 4096/B columns per chunk → many chunks
+    many = _cosine_near_dups_matmul(e, 0.95, chunk_doubles=4096).toPandas()
+    k = ["id_a", "id_b"]
+    one_s = one.sort_values(k).reset_index(drop=True)
+    many_s = many.sort_values(k).reset_index(drop=True)
+    pd.testing.assert_frame_equal(one_s, many_s)
+    assert len(one_s) >= 20

@@ -419,3 +419,29 @@ def test_flagship_size_gate_parity(spark):
     key = lambda d: set(zip(d["page_id"], d["poly_id"], d["cell_id"]))
     assert key(fused) == key(gated)
     assert len(fused) > 0
+
+
+def test_env_cells_udf_empty_batch_and_nan(spark):
+    """0-row Arrow batches must yield a 0-length Series (np.split on
+    an empty array returns ONE subarray), and NaN envelope coords must
+    saturate to cell 0, not INT64_MIN (ADVICE r3)."""
+    import numpy as np
+    import pandas as pd
+
+    from geospark.cells.cellid import DEFAULT_GRID, pack
+    from geospark.ops.knn import _env_cells_udf
+
+    fn = _env_cells_udf(DEFAULT_GRID, 8).func
+    empty = pd.Series([], dtype=np.float64)
+    out = fn(empty, empty, empty, empty)
+    assert len(out) == 0
+
+    nan = pd.Series([np.nan])
+    out = fn(nan, nan, nan, nan)
+    assert len(out) == 1
+    assert list(out.iloc[0]) == [int(pack(np.array([0]), np.array([0]), 8)[0])]
+
+    # partial NaN (finite xs, NaN ys) must not produce negative counts
+    fin = pd.Series([100.0])
+    out = fn(fin, nan, fin, nan)
+    assert len(out) == 1 and len(out.iloc[0]) >= 1
