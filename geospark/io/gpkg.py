@@ -158,6 +158,151 @@ def column_names(path: str, table: str) -> List[str]:
         con.close()
 
 
+def _spark_type_for_decl(decl: str):
+    """SQLite declared type → Spark type, following sqlite3's type
+    affinity rules (sqlite.org/datatype3.html §3.1) restricted to the
+    types a GeoPackage may declare.  Returns None for declarations we
+    cannot map deterministically (caller falls back to the driver-side
+    inferred read for that table).
+
+    BOOLEAN maps to long, DATE/TIME to string — matching what the
+    python sqlite3 driver actually returns for those storage classes
+    (ints / ISO strings) and therefore what the original inferred-
+    schema path produced."""
+    d = (decl or "").strip().upper()
+    if d == "BOOLEAN":
+        return "bigint"
+    if d.startswith("DATE") or "TIME" in d:
+        return "string"
+    if "INT" in d:
+        return "bigint"
+    if any(k in d for k in ("CHAR", "CLOB", "TEXT")):
+        return "string"
+    if "BLOB" in d or d == "":
+        return "binary"
+    if any(k in d for k in ("REAL", "FLOA", "DOUB")):
+        return "double"
+    return None
+
+
+def _table_plan(path: str, table: str, to_srid, columns, rowids):
+    """Driver-side metadata pass: final Spark schema (DDL list) for a
+    table plus the geometry column name/srid.  Returns None if any
+    column's declared type is ambiguous (→ driver-side fallback)."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+    finally:
+        con.close()
+    gcol = geometry_column(path, table)
+    gname = gcol[0] if gcol else None
+    fields = []
+    if rowids:
+        fields.append(("rowid", "bigint"))
+    for _cid, name, decl, _nn, _dflt, _pk in info:
+        if name == "fid":
+            continue  # auto pk suppressed, like the reference
+        if name == gname:
+            fields.append(("geom", "binary"))
+            continue
+        t = _spark_type_for_decl(decl)
+        if t is None:
+            return None
+        fields.append((name, t))
+    if gname is not None:
+        fields.append(("srid", "bigint"))
+    if columns:
+        keep = set(columns) | {"geom", "srid", "rowid"}
+        fields = [f for f in fields if f[0] in keep]
+    fields.append(("table", "string"))
+    return {"fields": fields, "gcol": gcol}
+
+
+def _rowid_ranges(path: str, table: str, rows_per_partition: int):
+    """Balanced [lo, hi] rowid ranges via ORDER BY rowid OFFSET
+    boundary probes (pk-btree seeks, cheap) — even heavily sparse or
+    clustered rowids split into ~rows_per_partition-row tasks."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        n = con.execute(f'SELECT count(*) FROM "{table}"').fetchone()[0]
+        if n == 0:
+            return []
+        lo, hi = con.execute(f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
+        k = max(1, -(-n // rows_per_partition))
+        bounds = [lo]
+        for i in range(1, k):
+            b = con.execute(
+                f'SELECT rowid FROM "{table}" ORDER BY rowid LIMIT 1 OFFSET ?',
+                (i * rows_per_partition,),
+            ).fetchone()
+            if b is None:
+                break
+            bounds.append(b[0])
+        bounds.append(hi + 1)
+        return [(int(bounds[i]), int(bounds[i + 1] - 1)) for i in range(len(bounds) - 1)]
+    finally:
+        con.close()
+
+
+def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, rows_per_partition):
+    """Rowid-range-partitioned scan: each task opens the SQLite file
+    read-only+immutable (the reference's concurrent-reader discipline,
+    gpkg.clj:144-147) and reads only its range — driver memory is
+    O(#ranges), never the table."""
+    from pyspark.sql import functions as F
+
+    fields = plan["fields"]
+    gcol = plan["gcol"]
+    schema_ddl = ", ".join(f"`{n}` {t}" for n, t in fields)
+    out_names = [n for n, _ in fields]
+    ranges = _rowid_ranges(path, table, rows_per_partition)
+    if not ranges:
+        return spark.createDataFrame([], schema_ddl)
+    rng_df = spark.createDataFrame(ranges, "lo bigint, hi bigint").repartition(len(ranges))
+
+    def scan(batches):
+        con = sqlite3.connect(f"file:{path}?mode=ro&immutable=1", uri=True)
+        try:
+            for pdf in batches:
+                for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                    yield _range_pdf(con, int(lo), int(hi))
+        finally:
+            con.close()
+
+    def _range_pdf(con, lo, hi):
+        # explicit alias: bare `SELECT rowid, *` would NAME the first
+        # column after the integer pk it aliases (`fid`), colliding
+        # with the pk column from `*`
+        sel = 'rowid AS "__gpkg_rowid", *' if rowids else "*"
+        rows = con.execute(
+            f'SELECT {sel} FROM "{table}" WHERE rowid >= ? AND rowid <= ?', (lo, hi)
+        )
+        names = [d[0] for d in rows.description]
+        pdf = pd.DataFrame(rows.fetchall(), columns=names)
+        if rowids:
+            pdf = pdf.rename(columns={"__gpkg_rowid": "rowid"})
+        if gcol is not None and gcol[0] in pdf.columns:
+            col, _tname, srid = gcol
+            geoms = []
+            for b in pdf[col]:
+                if b is None:
+                    geoms.append(None)
+                    continue
+                g, g_srid = gpb.decode(bytes(b))
+                if to_srid is not None and g_srid != to_srid:
+                    from ..crs.osgb import reproject
+
+                    g = reproject(g, g_srid, to_srid)
+                geoms.append(gc.to_wkb(g))
+            pdf[col] = geoms
+            pdf = pdf.rename(columns={col: "geom"})
+            pdf["srid"] = to_srid if to_srid is not None else srid
+        pdf["table"] = table
+        return pdf.reindex(columns=out_names)
+
+    return rng_df.mapInPandas(scan, schema=schema_ddl)
+
+
 def read_gpkg(
     spark,
     path: str,
@@ -165,31 +310,52 @@ def read_gpkg(
     to_srid: Optional[int] = None,
     columns: Optional[List[str]] = None,
     rowids: bool = False,
+    rows_per_partition: int = 250_000,
 ):
     """GeoPackage → DataFrame.  Geometry column becomes plain WKB
     `geom` + `srid` int; multiple tables chain (UNION) like the
-    reference's chained iterators when table is None."""
+    reference's chained iterators when table is None.
+
+    The scan is DISTRIBUTED: the driver reads only per-table schema
+    metadata and ~n/rows_per_partition rowid range boundaries; each
+    executor task opens the file `mode=ro&immutable=1` and decodes its
+    own range (blob→WKB + optional reprojection), so a multi-GB
+    GeoPackage never materializes on the driver.  Tables whose
+    declared column types can't be mapped deterministically fall back
+    to the driver-side inferred read (bounded to that table)."""
     tables = [table] if table else table_names(path, spatial_only=False)
-    pdfs = []
+    dfs = []
     for t in tables:
-        pdf = _read_table(path, t, to_srid, columns, rowids)
-        pdf["table"] = t
-        pdfs.append(pdf)
-    out = pd.concat(pdfs, ignore_index=True)
-    return spark.createDataFrame(out)
+        plan = _table_plan(path, t, to_srid, columns, rowids)
+        if plan is None:
+            pdf = _read_table(path, t, to_srid, columns, rowids)
+            pdf["table"] = t
+            dfs.append(spark.createDataFrame(pdf))
+        else:
+            dfs.append(
+                _read_table_distributed(
+                    spark, path, t, to_srid, columns, rowids, plan, rows_per_partition
+                )
+            )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
 
 
 def _read_table(path, table, to_srid, columns, rowids) -> pd.DataFrame:
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         gcol = geometry_column(path, table)
-        sel = "rowid, *" if rowids else "*"
+        # alias rowid explicitly — bare `rowid, *` names the column
+        # after the integer pk it aliases, colliding with `*`'s copy
+        sel = 'rowid AS "__gpkg_rowid", *' if rowids else "*"
         rows = con.execute(f'SELECT {sel} FROM "{table}"')
         names = [d[0] for d in rows.description]
         data = rows.fetchall()
         pdf = pd.DataFrame(data, columns=names)
         if rowids:
-            pdf = pdf.rename(columns={names[0]: "rowid"})
+            pdf = pdf.rename(columns={"__gpkg_rowid": "rowid"})
         if gcol is not None and gcol[0] in pdf.columns:
             col, _tname, srid = gcol
             geoms = []
