@@ -87,3 +87,203 @@ def geojson_df(spark, path_or_str: str):
 
     rows = read_geojson(path_or_str)
     return spark.createDataFrame(pd.DataFrame(rows))
+
+
+# ---------------------------------------------------------------------------
+# distributed read
+# ---------------------------------------------------------------------------
+
+
+def _iter_feature_strings(fh, chunk_size: int = 1 << 20) -> Iterator[str]:
+    """Stream a FeatureCollection document, yielding each top-level
+    feature object's raw JSON text.
+
+    O(current-feature) memory: a bracket/string state machine finds the
+    `"features"` array and splits balanced {...} objects — the whole
+    document is never json.loads'd or even held in memory, so a
+    multi-GB FeatureCollection streams through the driver."""
+    buf = ""
+    pos = 0
+    phase = 0  # 0: seeking "features", 1: seeking '[', 2: in array
+    depth = 0
+    in_str = False
+    esc = False
+    start = -1
+    cur: List[str] = []
+    while True:
+        if pos >= len(buf):
+            carry = ""
+            if start >= 0:
+                # mid-feature: stash the started text, continue at 0
+                cur.append(buf[start:])
+                start = 0
+            elif phase == 0:
+                # keep a tail so '"features"' straddling the chunk
+                # edge is still found
+                carry = buf[-16:]
+            nxt = fh.read(chunk_size)
+            if not nxt:
+                return
+            buf = carry + nxt
+            pos = 0
+        if phase == 0:
+            i = buf.find('"features"', pos)
+            if i < 0:
+                pos = len(buf)
+                continue
+            pos = i + len('"features"')
+            phase = 1
+            continue
+        if phase == 1:
+            c = buf[pos]
+            pos += 1
+            if c == "[":
+                phase = 2
+            elif c not in ": \t\r\n":
+                # '"features"' matched inside a string value, not the
+                # collection key — resume seeking
+                phase = 0
+            continue
+        # phase 2: inside the features array
+        c = buf[pos]
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+            pos += 1
+            continue
+        if depth == 0:
+            if c == "{":
+                depth = 1
+                start = pos
+            elif c == "]":
+                return
+            pos += 1
+            continue
+        if c == '"':
+            in_str = True
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                cur.append(buf[start : pos + 1])
+                yield "".join(cur)
+                cur = []
+                start = -1
+        pos += 1
+
+
+def _spark_to_kernel_type(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType) or isinstance(dt, T.IntegerType):
+        return "bigint", lambda v: int(v)
+    if isinstance(dt, T.DoubleType) or isinstance(dt, T.FloatType):
+        return "double", lambda v: float(v)
+    if isinstance(dt, T.BooleanType):
+        return "boolean", lambda v: bool(v)
+    if isinstance(dt, T.StringType):
+        return "string", lambda v: v if isinstance(v, str) else json.dumps(v)
+    # nested / mixed property values ride along as JSON strings
+    return "string", lambda v: json.dumps(v)
+
+
+def read_geojson_spark(spark, path: str, features_per_part: int = 100_000, tmp_dir: Optional[str] = None):
+    """GeoJSON → DataFrame, DISTRIBUTED (geojson.clj:6-62 semantics).
+
+    Physical forms by input shape:
+      - newline-delimited Features (GeoJSONSeq / ndjson — the scale
+        format): parsed directly, fully distributed, no staging.
+      - single FeatureCollection document: stream-split on the driver
+        (O(1)-memory bracket matcher, no whole-doc json.loads) into
+        rotating ndjson part files, then the distributed path runs
+        over those.
+      - bare geometry / Feature strings: driver parser (fixture path).
+
+    Properties schema comes from Spark's own DISTRIBUTED json
+    inference over the ndjson; geometry decodes to WKB in a
+    mapInPandas kernel (recursive coordinate decoder is python, but
+    Arrow-batched and executor-side).  Non-primitive property values
+    ride along as JSON strings."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    if path.lstrip().startswith("{"):
+        return geojson_df(spark, path)
+
+    # ndjson detection: first line is a complete JSON object
+    with open(path) as fh:
+        first = fh.readline()
+    ndjson_glob = None
+    try:
+        obj = json.loads(first)
+        if obj.get("type") in ("Feature",) or obj.get("type") in _TYPES:
+            ndjson_glob = path
+    except (json.JSONDecodeError, AttributeError):
+        pass
+
+    if ndjson_glob is None:
+        # stage: FeatureCollection → rotating ndjson parts
+        d = tempfile.mkdtemp(prefix="geojson_parts_", dir=tmp_dir)
+        n_part, n_in_part, out = 0, 0, None
+        try:
+            with open(path) as fh:
+                for feat in _iter_feature_strings(fh):
+                    if out is None or n_in_part >= features_per_part:
+                        if out is not None:
+                            out.close()
+                        out = open(os.path.join(d, f"part-{n_part:05d}.json"), "w")
+                        n_part += 1
+                        n_in_part = 0
+                    out.write(feat.replace("\n", " ") + "\n")
+                    n_in_part += 1
+        finally:
+            if out is not None:
+                out.close()
+        if n_part == 0:
+            # no features key / empty collection → driver fallback
+            return geojson_df(spark, path)
+        ndjson_glob = os.path.join(d, "part-*.json")
+
+    files = sorted(_glob.glob(ndjson_glob)) if "*" in ndjson_glob else [ndjson_glob]
+    inferred = spark.read.json(files)
+    prop_fields = []
+    if "properties" in inferred.columns:
+        from pyspark.sql import types as T
+
+        pt = inferred.schema["properties"].dataType
+        if isinstance(pt, T.StructType):
+            prop_fields = [(f.name, *_spark_to_kernel_type(f.dataType)) for f in pt.fields]
+    schema_ddl = ", ".join(
+        [f"`{n}` {t}" for n, t, _ in prop_fields] + ["`geometry` binary"]
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                if not line.strip():
+                    continue
+                f = json.loads(line)
+                props = f.get("properties") or {}
+                row = {}
+                for name, _t, conv in prop_fields:
+                    v = props.get(name)
+                    row[name] = None if v is None else conv(v)
+                geom = f.get("geometry") if f.get("type") == "Feature" else f
+                row["geometry"] = (
+                    gc.to_wkb(geometry_from_obj(geom)) if geom else None
+                )
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[n for n, _, _ in prop_fields] + ["geometry"]
+            )
+
+    return spark.read.text(files).mapInPandas(parse, schema=schema_ddl)

@@ -1509,7 +1509,7 @@ def q_geojson_roundtrip(spark, sf_dir) -> DataFrame:
     import os
     import tempfile
 
-    from .io.geojson import geojson_df
+    from .io.geojson import read_geojson_spark
 
     pts = customer_points(spark, sf_dir).orderBy("c_custkey").collect()
     fc = {
@@ -1526,7 +1526,8 @@ def q_geojson_roundtrip(spark, sf_dir) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), "geospark_q_geojson.json")
     with open(path, "w") as fh:
         json.dump(fc, fh)
-    df = geojson_df(spark, path)
+    # distributed path: stream-split → ndjson parts → executor parse
+    df = read_geojson_spark(spark, path, features_per_part=500)
 
     from .functions import wkb_to_points_np
 
