@@ -33,6 +33,219 @@ from .predicates import (
 F_DIM = -1  # empty entry
 
 
+# ---------------------------------------------------------------------------
+# exact lineal classification (replaces offset sampling for any combo
+# involving a 1-dim operand; r2 found two sampling-density bugs and the
+# r3 verdict asked for exactness — VERDICT r3 #4)
+# ---------------------------------------------------------------------------
+
+
+def _seg_split_params(p1, p2, lw_other):
+    """Breakpoint params of segment (p1,p2) against another linework,
+    the collinear-overlap intervals, and per-param provenance.
+
+    Every intersection of the segment with the other linework —
+    transversal crossing, endpoint touch, collinear stretch — lands a
+    param in the returned sorted set, so the OPEN pieces between
+    consecutive params each lie entirely in one location class of the
+    other geometry (the noded-arrangement property, computed per
+    segment without snap-rounding).
+
+    prov maps param t → ("on", coord|None): the breakpoint is ON the
+    other linework; coord is the other geometry's EXACT vertex when
+    the meet happens at one (u == 0/1 or a collinear-overlap end), so
+    interior-vs-boundary of a lineal other is decided from its mod-2
+    endpoint set, never by re-locating a rounded crossing point."""
+    params = {0.0, 1.0}
+    intervals = []
+    prov = {}
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    len2 = dx * dx + dy * dy
+    if len2 == 0:
+        return sorted(params), intervals, prov
+    lo_x, hi_x = min(p1[0], p2[0]), max(p1[0], p2[0])
+    lo_y, hi_y = min(p1[1], p2[1]), max(p1[1], p2[1])
+    from .linear import _collinear_overlap, _orient
+
+    def mark(t, coord):
+        # exact-vertex provenance wins over anonymous on-other
+        if t not in prov or (prov[t][1] is None and coord is not None):
+            prov[t] = ("on", coord)
+
+    for d in lw_other:
+        for j in range(len(d) - 1):
+            q1, q2 = d[j], d[j + 1]
+            if (
+                max(q1[0], q2[0]) < lo_x or min(q1[0], q2[0]) > hi_x
+                or max(q1[1], q2[1]) < lo_y or min(q1[1], q2[1]) > hi_y
+            ):
+                continue
+            o1 = _orient(p1, p2, q1)
+            o2 = _orient(p1, p2, q2)
+            if o1 == 0 and o2 == 0:
+                ov = _collinear_overlap(p1, p2, q1, q2)
+                if not ov:
+                    continue
+                q_ends = {(q1[0], q1[1]), (q2[0], q2[1])}
+                ts = []
+                for q in ov:
+                    t = min(max(((q[0] - p1[0]) * dx + (q[1] - p1[1]) * dy) / len2, 0.0), 1.0)
+                    ts.append(t)
+                    mark(t, (q[0], q[1]) if (q[0], q[1]) in q_ends else None)
+                params.update(ts)
+                ts.sort()
+                if ts[-1] > ts[0]:
+                    intervals.append((ts[0], ts[-1]))
+                continue
+            rxs = dx * (q2[1] - q1[1]) - dy * (q2[0] - q1[0])
+            if rxs == 0:
+                continue  # parallel, not collinear
+            t = ((q1[0] - p1[0]) * (q2[1] - q1[1]) - (q1[1] - p1[1]) * (q2[0] - q1[0])) / rxs
+            u = ((q1[0] - p1[0]) * dy - (q1[1] - p1[1]) * dx) / rxs
+            if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                params.add(t)
+                mark(t, (q1[0], q1[1]) if u == 0.0 else (q2[0], q2[1]) if u == 1.0 else None)
+    return sorted(params), intervals, prov
+
+
+def _mod2_boundary_points(lw_parts) -> set:
+    """Boundary of a lineal geometry by the mod-2 rule (JTS default):
+    endpoints of open parts occurring an odd number of times."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for c in lw_parts:
+        if len(c) < 2:
+            continue
+        if c[0][0] == c[-1][0] and c[0][1] == c[-1][1]:
+            continue  # ring: no boundary
+        cnt[(c[0][0], c[0][1])] += 1
+        cnt[(c[-1][0], c[-1][1])] += 1
+    return {p for p, n in cnt.items() if n % 2 == 1}
+
+
+class _LinealClasses:
+    __slots__ = ("pieces", "nodes", "bnd")
+
+    def __init__(self):
+        self.pieces: set = set()  # locations of 1-dim open pieces
+        self.nodes: set = set()   # locations of 0-dim interior points
+        self.bnd: set = set()     # locations of mod-2 boundary points
+
+
+def _classify_lineal(L_lw, G: Geometry, G_lw, g_dim: int) -> _LinealClasses:
+    """EXACT location classes of a lineal geometry's interior pieces,
+    interior nodes, and boundary points against G.
+
+    Each segment of L is split at every intersection with G's
+    linework; an open piece then has ONE location class, read off its
+    midpoint (or known from collinear-interval membership), so no
+    contact stretch — however short — is ever missed, unlike the old
+    fixed-offset sampler."""
+    out = _LinealClasses()
+    bnd_pts = _mod2_boundary_points(L_lw)
+    g_bnd_pts = _mod2_boundary_points(G_lw) if g_dim == 1 else set()
+    for c in L_lw:
+        for i in range(len(c) - 1):
+            p1, p2 = c[i], c[i + 1]
+            if p1[0] == p2[0] and p1[1] == p2[1]:
+                continue
+            ts, intervals, prov = _seg_split_params(p1, p2, G_lw)
+            # split at L's OWN mod-2 boundary points lying mid-segment
+            # (self-overlapping lines: an odd endpoint of another part
+            # can sit inside this segment; it belongs to ∂L, not the
+            # piece's int-L row — the vertex loop classifies it)
+            self_bnd_ts = set()
+            if bnd_pts:
+                from .predicates import _on_seg
+
+                for bx, by in bnd_pts:
+                    if (bx == p1[0] and by == p1[1]) or (bx == p2[0] and by == p2[1]):
+                        continue
+                    if _on_seg(p1[0], p1[1], p2[0], p2[1], bx, by):
+                        dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+                        t = ((bx - p1[0]) * dx + (by - p1[1]) * dy) / (dx * dx + dy * dy)
+                        if 0.0 < t < 1.0:
+                            self_bnd_ts.add(t)
+                if self_bnd_ts:
+                    ts = sorted(set(ts) | self_bnd_ts)
+            for a_, b_ in zip(ts[:-1], ts[1:]):
+                if b_ <= a_:
+                    continue
+                on_g = any(t0 <= a_ and b_ <= t1 for t0, t1 in intervals)
+                if on_g:
+                    out.pieces.add(BOUNDARY if g_dim == 2 else INTERIOR)
+                else:
+                    tm = (a_ + b_) / 2.0
+                    out.pieces.add(
+                        locate_point(G, p1[0] + (p2[0] - p1[0]) * tm, p1[1] + (p2[1] - p1[1]) * tm)
+                    )
+            for t in ts:
+                if not (0.0 < t < 1.0) or t in self_bnd_ts:
+                    continue
+                if t in prov:
+                    # breakpoint is ON G by construction — interior vs
+                    # boundary comes from provenance, never from
+                    # re-locating the rounded crossing coordinate
+                    if g_dim == 2:
+                        out.nodes.add(BOUNDARY)
+                    else:
+                        coord = prov[t][1]
+                        out.nodes.add(
+                            BOUNDARY if coord is not None and coord in g_bnd_pts else INTERIOR
+                        )
+                else:
+                    out.nodes.add(
+                        locate_point(G, p1[0] + (p2[0] - p1[0]) * t, p1[1] + (p2[1] - p1[1]) * t)
+                    )
+        for v in c:
+            loc = locate_point(G, v[0], v[1])
+            if (v[0], v[1]) in bnd_pts:
+                out.bnd.add(loc)
+            else:
+                out.nodes.add(loc)
+    return out
+
+
+def _relate_line_line(a: Geometry, b: Geometry) -> str:
+    lwa, lwb = _linework(a), _linework(b)
+    ca = _classify_lineal(lwa, b, lwb, 1)
+    cb = _classify_lineal(lwb, a, lwa, 1)
+    ii = 1 if INTERIOR in ca.pieces else (0 if INTERIOR in ca.nodes else F_DIM)
+    ib = 0 if BOUNDARY in (ca.pieces | ca.nodes) else F_DIM
+    ie = 1 if EXTERIOR in ca.pieces else F_DIM
+    bi = 0 if INTERIOR in ca.bnd else F_DIM
+    bb = 0 if BOUNDARY in ca.bnd else F_DIM
+    be = 0 if EXTERIOR in ca.bnd else F_DIM
+    ei = 1 if EXTERIOR in cb.pieces else F_DIM
+    eb = 0 if EXTERIOR in cb.bnd else F_DIM
+    entries = [ii, ib, ie, bi, bb, be, ei, eb, 2]
+    return "".join("F" if e == F_DIM else str(e) for e in entries)
+
+
+def _relate_area_line(a: Geometry, b: Geometry) -> str:
+    """a is areal, b lineal — exact entries from the piece classes of
+    b against a and of ∂a against b."""
+    lwa, lwb = _linework(a), _linework(b)
+    cb = _classify_lineal(lwb, a, lwa, 2)
+    # ∂a (the rings) against b's linework, as line vs line
+    cad = _classify_lineal(lwa, b, lwb, 1)
+    ii = 1 if INTERIOR in cb.pieces else F_DIM
+    ib = 0 if INTERIOR in cb.bnd else F_DIM
+    ie = 2  # a 1-dim line can never cover an open 2-set
+    bi = 1 if BOUNDARY in cb.pieces else (0 if BOUNDARY in cb.nodes else F_DIM)
+    bb = 0 if BOUNDARY in cb.bnd else F_DIM
+    be = 1 if EXTERIOR in cad.pieces else F_DIM
+    ei = 1 if EXTERIOR in cb.pieces else F_DIM
+    eb = 0 if EXTERIOR in cb.bnd else F_DIM
+    entries = [ii, ib, ie, bi, bb, be, ei, eb, 2]
+    return "".join("F" if e == F_DIM else str(e) for e in entries)
+
+
+def _transpose_matrix(m: str) -> str:
+    return "".join(m[3 * c + r] for r in range(3) for c in range(3))
+
+
 def _sample_points(g: Geometry) -> np.ndarray:
     """Vertices + segment quarter/mid/three-quarter points of g's
     linework (multiple offsets so a sample can't land exactly on every
@@ -148,6 +361,14 @@ def relate_matrix(a: Geometry, b: Geometry) -> str:
     ba, bb_ = _boundary(a), _boundary(b)
     if da == 2 and db == 2 and ba is not None and bb_ is not None:
         return _relate_area_area(a, b, ba, bb_)
+    if not a.is_empty() and not b.is_empty():
+        # exact lineal paths (no sampling)
+        if da == 1 and db == 1:
+            return _relate_line_line(a, b)
+        if da == 2 and db == 1:
+            return _relate_area_line(a, b)
+        if da == 1 and db == 2:
+            return _transpose_matrix(_relate_area_line(b, a))
 
     def dim_II() -> int:
         if a.is_empty() or b.is_empty() or not _interiors_intersect(a, b):
