@@ -85,6 +85,39 @@ def cell_id_expr(x: Column, y: Column, level: int, grid: CellGrid) -> Column:
     return F.shiftleft(m, 6).bitwiseOR(F.lit(level))
 
 
+def env_cells_expr(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, level: int, grid: CellGrid
+) -> Column:
+    """array<long> of every cell id at `level` touched by the bbox —
+    the Catalyst twin of ops.knn._env_cells_udf, built from
+    sequence × transform × flatten so the whole cover generation runs
+    inside codegen with no python worker.
+
+    Uses the SAME cell_xy_expr as point assignment, so a build point's
+    cell is always inside the cover of any envelope containing it
+    (self-consistency is what the kNN lower bound needs; mixing float
+    op orders across the two sides could drop a boundary point)."""
+    if level > MAX_LEVEL:
+        raise ValueError(f"cell level {level} > MAX_LEVEL {MAX_LEVEL}")
+    ix0, iy0 = cell_xy_expr(xmin, ymin, level, grid)
+    ix1, iy1 = cell_xy_expr(xmax, ymax, level, grid)
+    # inverted envelopes (all-NaN → 0, or caller-swapped bounds) must
+    # not feed sequence() a start > stop
+    ix1 = F.greatest(ix0, ix1)
+    iy1 = F.greatest(iy0, iy1)
+
+    def pack(ix, iy):
+        m = _part1by1_expr(ix).bitwiseOR(F.shiftleft(_part1by1_expr(iy), 1))
+        return F.shiftleft(m, 6).bitwiseOR(F.lit(level))
+
+    return F.flatten(
+        F.transform(
+            F.sequence(ix0, ix1),
+            lambda ix: F.transform(F.sequence(iy0, iy1), lambda iy: pack(ix, iy)),
+        )
+    )
+
+
 def pip_covers_expr(px: Column, py: Column, edges: Column) -> Column:
     """covers(polygon, point) over an array<struct<x1,y1,x2,y2>> edge
     column — the exact PreparedPolygon._locate_many semantics

@@ -109,7 +109,14 @@ def knn_join(
         # rng=0 range queries pass an explicit level sized to the
         # typical build envelope instead
         level = grid.level_for_size(rng)
-    env_cells = _env_cells_udf(grid, level)
+    from ..cells.cellexpr import env_cells_expr
+
+    def env_cells(x0, y0, x1, y1):
+        # pure-Catalyst cover: candidate generation stays inside
+        # whole-stage codegen; python appears only in the exact
+        # re-rank kernel (and not at all for point/point)
+        cols = [F.col(c) if isinstance(c, str) else c for c in (x0, y0, x1, y1)]
+        return env_cells_expr(*cols, level, grid)
 
     if query_geom is not None:
         qenv = query.select(
