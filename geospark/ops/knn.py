@@ -34,9 +34,16 @@ from ..geom.predicates import distance
 
 def _env_cells_udf(grid: CellGrid, level: int):
     """Cells touched by each bbox at `level` — vectorized index math,
-    one python list build per row (no per-row cover_bbox call)."""
+    one python list build per row (no per-row cover_bbox call).
+
+    No longer on the kNN hot path (cells/cellexpr.env_cells_expr is
+    the production cover, pure codegen); kept as the executable numpy
+    SPEC of the cover — the parity property test in
+    tests/test_cells_crs.py pins the Catalyst expression to it.  The
+    index math is intentionally the exact op order of
+    cellid.cell_xy / cellexpr.cell_xy_expr ((x−x0)/span·n, saturate,
+    truncate) so the twins are bit-identical at cell boundaries."""
     n = 1 << level
-    inv = n / grid.span
 
     @F.pandas_udf(ArrayType(LongType()))
     def env_cells(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
@@ -46,11 +53,11 @@ def _env_cells_udf(grid: CellGrid, level: int):
         # astype(NaN) is INT64_MIN → negative counts → np.repeat
         # ValueError (same saturation rule as cellid.cell_xy)
         def _idx(s: pd.Series) -> np.ndarray:
-            f = np.nan_to_num((s.to_numpy(np.float64) - grid.x0) * inv, nan=0.0)
+            f = np.nan_to_num((s.to_numpy(np.float64) - grid.x0) / grid.span * n, nan=0.0)
             return np.clip(np.floor(f), 0, n - 1).astype(np.int64)
 
         def _idy(s: pd.Series) -> np.ndarray:
-            f = np.nan_to_num((s.to_numpy(np.float64) - grid.y0) * inv, nan=0.0)
+            f = np.nan_to_num((s.to_numpy(np.float64) - grid.y0) / grid.span * n, nan=0.0)
             return np.clip(np.floor(f), 0, n - 1).astype(np.int64)
 
         ix0, ix1, iy0, iy1 = _idx(xmin), _idx(xmax), _idy(ymin), _idy(ymax)

@@ -197,3 +197,47 @@ def test_cell_encode_nan_maps_to_cell_zero(spark):
         .to_numpy()
     )
     assert (got == want).all()
+
+
+def test_env_cells_expr_matches_numpy_spec(spark):
+    """The Catalyst bbox cover (env_cells_expr) is bit-identical to
+    the numpy spec (_env_cells_udf) — including cell-boundary floats,
+    NaN saturation, and inverted/degenerate envelopes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geospark.cells.cellexpr import env_cells_expr
+    from geospark.cells.cellid import DEFAULT_GRID
+    from geospark.ops.knn import _env_cells_udf
+
+    level = 10
+    rng = np.random.RandomState(11)
+    n = 400
+    cs = DEFAULT_GRID.cell_size(level)
+    x0 = rng.uniform(DEFAULT_GRID.x0, DEFAULT_GRID.x0 + DEFAULT_GRID.span, n)
+    y0 = rng.uniform(DEFAULT_GRID.y0, DEFAULT_GRID.y0 + DEFAULT_GRID.span, n)
+    # mix: random spans, exact-boundary-aligned corners, NaN, huge
+    w = rng.uniform(0, 3 * cs, n)
+    h = rng.uniform(0, 3 * cs, n)
+    x0[:100] = DEFAULT_GRID.x0 + np.round(x0[:100] / cs) * cs  # on boundaries
+    x0[380:385] = np.nan
+    y0[385:390] = np.inf
+    x0[390:395] = -1e300
+    pdf = pd.DataFrame({"xmin": x0, "ymin": y0, "xmax": x0 + w, "ymax": y0 + h})
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select(
+            env_cells_expr(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), level, DEFAULT_GRID
+            ).alias("cells")
+        )
+        .toPandas()["cells"]
+    )
+    udf = _env_cells_udf(DEFAULT_GRID, level)
+    want = (
+        df.select(udf("xmin", "ymin", "xmax", "ymax").alias("cells"))
+        .toPandas()["cells"]
+    )
+    for i, (g, w_) in enumerate(zip(got, want)):
+        assert list(g) == list(w_), f"row {i}: {list(g)[:5]} vs {list(w_)[:5]}"
