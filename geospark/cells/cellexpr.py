@@ -17,8 +17,43 @@ from pyspark.sql import Column, functions as F
 from .cellid import MAX_LEVEL, CellGrid
 
 
-def _part1by1_expr(v: Column) -> Column:
-    """Spread the low 32 bits of a long across even bit positions."""
+# Two Morton spread forms, picked by EXPRESSION CONTEXT:
+#
+#   ladder — the classic shift-or ladder.  References its input at
+#   every step, so the expression TREE doubles per step (2^6 ≈ 64
+#   copies of the input subtree).  In a Project/Aggregate stage,
+#   whole-stage codegen's subexpression elimination collapses the
+#   copies and the pure-ALU form is the fastest (measured 0.32 s /
+#   64 M rows).  Fed into a JOIN KEY, the inlined tree blows the
+#   generated method past janino's limit → interpreted fallback
+#   re-evaluating the float cell_xy chain per leaf (measured 25×
+#   slower on the pip_join probe, 5.1 s → 132 s).
+#
+#   table — four constant-array byte lookups (_MORTON_TAB[b] ==
+#   cellid._part1by1(b)).  The input is referenced 4×, the tree stays
+#   linear, codegen is healthy in every context; ~4× slower than the
+#   ladder in pure-encode microbenches (1.3 s / 64 M rows) but robust.
+#
+# Default TABLE everywhere; projection-context call sites whose plans
+# are codegen-asserted (assign_tiles, rasterize) opt into the ladder,
+# and lambda-bound inputs (sequence variables in env_cells_expr) use
+# the ladder because duplicating a lambda leaf is free while array
+# literals inside interpreted lambdas are re-built per element.
+def _spread_byte(b: int) -> int:
+    v = b
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+_MORTON_TAB = [_spread_byte(b) for b in range(256)]
+
+
+def _part1by1_ladder_expr(v: Column) -> Column:
+    """Shift-or ladder spread — use only when the input is a cheap
+    leaf (column ref / lambda var) or the stage is a codegen-verified
+    Project (see module comment)."""
     v = v.bitwiseAND(F.lit(0x00000000FFFFFFFF))
     v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
     v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
@@ -26,6 +61,24 @@ def _part1by1_expr(v: Column) -> Column:
     v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x3333333333333333))
     v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x5555555555555555))
     return v
+
+
+def _part1by1_expr(v: Column, form: str = "table") -> Column:
+    """Spread the low 32 bits of a long across even bit positions
+    (bit-identical to cellid._part1by1, property-tested)."""
+    if form == "ladder":
+        return _part1by1_ladder_expr(v)
+    # elements must be BIGINT: shiftleft on an int column masks the
+    # shift amount to 5 bits (shift-by-32 becomes shift-by-0)
+    tab = F.array(*[F.lit(x).cast("bigint") for x in _MORTON_TAB])
+    out = None
+    for k in range(4):
+        byte = F.shiftrightunsigned(v, 8 * k).bitwiseAND(F.lit(0xFF)) if k else v.bitwiseAND(F.lit(0xFF))
+        part = F.element_at(tab, (byte + 1).cast("int"))
+        if k:
+            part = F.shiftleft(part, 16 * k)
+        out = part if out is None else out.bitwiseOR(part)
+    return out
 
 
 def cell_xy_expr(x: Column, y: Column, level: int, grid: CellGrid) -> tuple:
@@ -76,12 +129,18 @@ def cell_level_expr(cid: Column) -> Column:
     return cid.bitwiseAND(F.lit(0x3F))
 
 
-def cell_id_expr(x: Column, y: Column, level: int, grid: CellGrid) -> Column:
-    """Packed Z-order cell id for a point — cellid.pack in Catalyst."""
+def cell_id_expr(
+    x: Column, y: Column, level: int, grid: CellGrid, form: str = "table"
+) -> Column:
+    """Packed Z-order cell id for a point — cellid.pack in Catalyst.
+
+    form="ladder" only for codegen-verified Project/Aggregate stages
+    (see the Morton-form module comment); the default table form is
+    robust as a join key."""
     if level > MAX_LEVEL:
         raise ValueError(f"cell level {level} > MAX_LEVEL {MAX_LEVEL}")
     ix, iy = cell_xy_expr(x, y, level, grid)
-    m = _part1by1_expr(ix).bitwiseOR(F.shiftleft(_part1by1_expr(iy), 1))
+    m = _part1by1_expr(ix, form).bitwiseOR(F.shiftleft(_part1by1_expr(iy, form), 1))
     return F.shiftleft(m, 6).bitwiseOR(F.lit(level))
 
 
@@ -107,7 +166,10 @@ def env_cells_expr(
     iy1 = F.greatest(iy0, iy1)
 
     def pack(ix, iy):
-        m = _part1by1_expr(ix).bitwiseOR(F.shiftleft(_part1by1_expr(iy), 1))
+        # ladder on the lambda vars: duplicating a bound leaf is free,
+        # while a 256-element array literal inside an interpreted
+        # lambda would be re-built per element
+        m = _part1by1_ladder_expr(ix).bitwiseOR(F.shiftleft(_part1by1_ladder_expr(iy), 1))
         return F.shiftleft(m, 6).bitwiseOR(F.lit(level))
 
     return F.flatten(

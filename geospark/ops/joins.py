@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from ..cells.cellid import DEFAULT_GRID, CellGrid
-from ..functions import cell_of_point, cover_cells
+from ..functions import cover_cells
 from ..geom import core as gc
 from ..geom import predicates as gpred
 
@@ -194,10 +194,16 @@ def pip_join(
         poly_bc = spark.sparkContext.broadcast(poly_map)
         build = build.drop("__pwkb")
     keep_cols = [c for c in (keep_cols or []) if c not in (point_id,)]
+    # probe-side cell assignment is PURE CATALYST (cellexpr is
+    # property-tested bit-identical to the numpy encoder): the probe
+    # is the big side, and a pandas UDF here would put every point
+    # through the python socket before the join even starts
+    from ..cells.cellexpr import cell_id_expr
+
     cell_expr = (
         F.col(cell_col)
         if cell_col is not None
-        else cell_of_point(level, grid)(F.col(x_col), F.col(y_col))
+        else cell_id_expr(F.col(x_col), F.col(y_col), level, grid)
     )
     probe = points.select(
         F.col(point_id).alias("__qid"),

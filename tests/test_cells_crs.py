@@ -141,13 +141,18 @@ def test_cell_id_expr_matches_numpy(spark):
     df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
     for grid in (DEFAULT_GRID, CellGrid(0.0, 0.0, 1024000.0)):
         for level in (0, 7, 14, 28):
-            got = (
-                df.select(cell_id_expr(F.col("x"), F.col("y"), level, grid).alias("c"))
-                .toPandas()["c"]
-                .to_numpy()
-            )
             want = grid.encode_points(x, y, level)
-            assert (got == want).all()
+            # BOTH Morton forms (table join-key form, ladder
+            # projection form) must be bit-identical to numpy
+            for form in ("table", "ladder"):
+                got = (
+                    df.select(
+                        cell_id_expr(F.col("x"), F.col("y"), level, grid, form).alias("c")
+                    )
+                    .toPandas()["c"]
+                    .to_numpy()
+                )
+                assert (got == want).all(), (grid, level, form)
 
 
 def test_cell_unpack_expr_matches_numpy(spark):
