@@ -268,3 +268,55 @@ def test_distributed_scan_many_partitions(spark, tmp_path):
         .sort_values("rowid")
     )
     assert (withids["rowid"] % 3 != 0).all()
+
+
+def test_distributed_scan_types_and_nulls(spark, tmp_path):
+    """Declared-type schema mapping under NULLs, booleans, datetimes,
+    and a multi-table union — distributed scan ≡ driver fallback."""
+    import numpy as np
+
+    from geospark.geom import core as C
+
+    rows = pd.DataFrame(
+        {
+            "geom": [C.to_wkb(C.point(i, i)) if i % 3 else None for i in range(40)],
+            "name": [None if i % 5 == 0 else f"n{i}" for i in range(40)],
+            "score": [None if i % 7 == 0 else i * 1.5 for i in range(40)],
+            "flag": [bool(i % 2) for i in range(40)],
+            "stamp": [f"2026-01-{(i % 28) + 1:02d}T00:00:00" for i in range(40)],
+        }
+    )
+    path = str(tmp_path / "typed.gpkg")
+    gpkg.write_gpkg(spark.createDataFrame(rows), path, "t1", srid=27700)
+    # second table, different schema, for the union path
+    rows2 = pd.DataFrame({"label": [f"x{i}" for i in range(7)], "k": list(range(7))})
+    gpkg.write_gpkg(spark.createDataFrame(rows2), path, "t2", srid=27700)
+
+    dist = gpkg.read_gpkg(spark, path, "t1", rows_per_partition=9)
+    drv_pdf = gpkg._read_table(path, "t1", None, None, False)
+    drv_pdf["table"] = "t1"
+    a = dist.toPandas().sort_values("name", na_position="first").reset_index(drop=True)
+    b = (
+        spark.createDataFrame(drv_pdf)
+        .toPandas()
+        .sort_values("name", na_position="first")
+        .reset_index(drop=True)
+    )
+    assert set(a.columns) == set(b.columns)
+    for c in a.columns:
+        av, bv = list(a[c]), list(b[c])
+        if c == "geom":
+            av = [None if v is None else bytes(v) for v in av]
+            bv = [None if v is None else bytes(v) for v in bv]
+        assert [x if x == x else None for x in av] == [
+            x if x == x else None for x in bv
+        ], c
+
+    # multi-table union (table=None): all rows, missing cols null
+    both = gpkg.read_gpkg(spark, path, rows_per_partition=9)
+    pdf = both.toPandas()
+    assert set(pdf["table"]) == {"t1", "t2"}
+    assert len(pdf) == 47
+    t2rows = pdf[pdf["table"] == "t2"]
+    assert t2rows["name"].isna().all()
+    assert sorted(t2rows["label"]) == [f"x{i}" for i in range(7)]
