@@ -63,14 +63,31 @@ def _part1by1_ladder_expr(v: Column) -> Column:
     return v
 
 
+# the 256-entry table as ONE cached Column: building it from 256
+# F.lit() calls costs ~512 py4j round trips per query (measured ~1 s
+# of driver-side plan-building per pip_join at fixture scale); a
+# single F.expr string is one call, parsed once, and the unresolved
+# literal Column is session-independent so module-level reuse is safe
+_MORTON_TAB_COL = None
+
+
+def _morton_tab_col() -> Column:
+    global _MORTON_TAB_COL
+    if _MORTON_TAB_COL is None:
+        # elements must be BIGINT: shiftleft on an int column masks
+        # the shift amount to 5 bits (shift-by-32 becomes shift-by-0)
+        _MORTON_TAB_COL = F.expr(
+            "array(" + ",".join(f"{x}L" for x in _MORTON_TAB) + ")"
+        )
+    return _MORTON_TAB_COL
+
+
 def _part1by1_expr(v: Column, form: str = "table") -> Column:
     """Spread the low 32 bits of a long across even bit positions
     (bit-identical to cellid._part1by1, property-tested)."""
     if form == "ladder":
         return _part1by1_ladder_expr(v)
-    # elements must be BIGINT: shiftleft on an int column masks the
-    # shift amount to 5 bits (shift-by-32 becomes shift-by-0)
-    tab = F.array(*[F.lit(x).cast("bigint") for x in _MORTON_TAB])
+    tab = _morton_tab_col()
     out = None
     for k in range(4):
         byte = F.shiftrightunsigned(v, 8 * k).bitwiseAND(F.lit(0xFF)) if k else v.bitwiseAND(F.lit(0xFF))

@@ -295,11 +295,12 @@ def test_distributed_scan_types_and_nulls(spark, tmp_path):
     dist = gpkg.read_gpkg(spark, path, "t1", rows_per_partition=9)
     drv_pdf = gpkg._read_table(path, "t1", None, None, False)
     drv_pdf["table"] = "t1"
-    a = dist.toPandas().sort_values("name", na_position="first").reset_index(drop=True)
+    key = ["stamp", "name", "score", "flag"]
+    a = dist.toPandas().sort_values(key, na_position="first").reset_index(drop=True)
     b = (
         spark.createDataFrame(drv_pdf)
         .toPandas()
-        .sort_values("name", na_position="first")
+        .sort_values(key, na_position="first")
         .reset_index(drop=True)
     )
     assert set(a.columns) == set(b.columns)
