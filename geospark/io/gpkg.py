@@ -269,11 +269,22 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
         finally:
             con.close()
 
+    # COLUMN PRUNING pushed into the SQLite select: read only the
+    # columns the final schema keeps (geom maps back to its source
+    # column; rowid/srid/table are synthesized).  A wide table with a
+    # narrow `columns=` projection never deserializes dropped blobs.
+    src_cols = []
+    for n in out_names:
+        if n in ("rowid", "srid", "table"):
+            continue
+        src_cols.append(gcol[0] if (n == "geom" and gcol is not None) else n)
+    sel_cols = ", ".join(f'"{c}"' for c in src_cols) if src_cols else "NULL"
+
     def _range_pdf(con, lo, hi):
-        # explicit alias: bare `SELECT rowid, *` would NAME the first
-        # column after the integer pk it aliases (`fid`), colliding
-        # with the pk column from `*`
-        sel = 'rowid AS "__gpkg_rowid", *' if rowids else "*"
+        # explicit alias: bare `SELECT rowid, ...` would NAME the
+        # rowid column after the integer pk it aliases (`fid`),
+        # colliding with the pk column read via the select list
+        sel = f'rowid AS "__gpkg_rowid", {sel_cols}' if rowids else sel_cols
         rows = con.execute(
             f'SELECT {sel} FROM "{table}" WHERE rowid >= ? AND rowid <= ?', (lo, hi)
         )

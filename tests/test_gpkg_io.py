@@ -321,3 +321,25 @@ def test_distributed_scan_types_and_nulls(spark, tmp_path):
     t2rows = pdf[pdf["table"] == "t2"]
     assert t2rows["name"].isna().all()
     assert sorted(t2rows["label"]) == [f"x{i}" for i in range(7)]
+
+
+def test_distributed_scan_column_projection(spark, tmp_path):
+    """columns= prunes the SQLite select list (scale posture: dropped
+    blobs are never deserialized) and keeps geom/srid/rowid."""
+    from geospark.geom import core as C
+
+    rows = pd.DataFrame(
+        {
+            "geom": [C.to_wkb(C.point(i, i)) for i in range(20)],
+            "keep": [f"k{i}" for i in range(20)],
+            "drop_me": [f"d{i}" for i in range(20)],
+            "big_blob": [b"x" * 1000 for _ in range(20)],
+        }
+    )
+    path = str(tmp_path / "proj.gpkg")
+    gpkg.write_gpkg(spark.createDataFrame(rows), path, "t", srid=27700)
+    df = gpkg.read_gpkg(spark, path, "t", columns=["keep"], rowids=True, rows_per_partition=7)
+    got = df.toPandas()
+    assert set(got.columns) == {"rowid", "keep", "geom", "srid", "table"}
+    assert sorted(got["keep"]) == sorted(f"k{i}" for i in range(20))
+    assert got["geom"].notna().all()
