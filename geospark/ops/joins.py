@@ -104,10 +104,24 @@ def _prepared(key, wkb: bytes) -> gpred.PreparedPolygon:
     return pp
 
 
+# level choice memoized per DataFrame object (same immutable-source
+# contract as the flagship index cache: identity implies identical
+# data only for snapshot-backed tables).  A long-running job probing
+# one dimension layer repeatedly pays the sample job once, not per
+# query.
+import weakref
+
+_LEVEL_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def choose_level(polys: DataFrame, geom_col: str, grid: CellGrid, sample: int = 1000) -> int:
     """Pick the cell level from the build side's median bbox extent —
     cells ≈ the typical polygon size keep both the cover sets and the
     per-cell candidate lists small."""
+    key = (geom_col, grid.x0, grid.y0, grid.span, sample)
+    per_df = _LEVEL_CACHE.setdefault(polys, {})
+    if key in per_df:
+        return per_df[key]
     from ..functions import st_envelope
 
     s = (
@@ -128,7 +142,9 @@ def choose_level(polys: DataFrame, geom_col: str, grid: CellGrid, sample: int = 
     # linearly with polygon perimeter — measured sweet spot
     from ..cells.cellid import MAX_LEVEL
 
-    return min(grid.level_for_size(max(med, 1e-9)) + 3, MAX_LEVEL)
+    lvl = min(grid.level_for_size(max(med, 1e-9)) + 3, MAX_LEVEL)
+    per_df[key] = lvl
+    return lvl
 
 
 def pip_join(
