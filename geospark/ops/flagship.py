@@ -34,9 +34,9 @@ from ..geom import predicates as gpred
 # object: a long-running job queries one dimension layer repeatedly
 # and should pay the collect + driver-side cover + broadcast ONCE, not
 # per query.  Weak keys: dropping the DataFrame drops its cached
-# indexes, and a finalizer DESTROYS the broadcasts at that point
+# indexes, and a finalizer UNPERSISTS the broadcasts at that point
 # (executor blocks are freed eagerly instead of waiting on driver GC +
-# ContextCleaner).
+# ContextCleaner; see _release_entries for why not destroy).
 #
 # CONTRACT: identity implies identical data only for DataFrames over
 # immutable sources.  A DataFrame whose underlying files are
@@ -49,10 +49,18 @@ import weakref
 _INDEX_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _destroy_entries(per_df: dict) -> None:
+def _release_entries(per_df: dict) -> None:
+    # unpersist, NOT destroy: a result DataFrame returned to the
+    # caller closes over the broadcast and may outlive the dimension
+    # DataFrame object that keyed the cache — destroy() would make
+    # serializing its tasks throw INTERNAL_ERROR_BROADCAST (found by
+    # the entry smoke test).  unpersist frees the executor copies
+    # eagerly; a surviving plan that still needs the broadcast
+    # re-fetches it from the driver, and full teardown is left to the
+    # ContextCleaner once the last closure reference drops.
     for bc in per_df.values():
         try:
-            bc.destroy(blocking=False)
+            bc.unpersist(blocking=False)
         except Exception:
             pass
     per_df.clear()
@@ -62,11 +70,10 @@ def _cached_index_bc(polys, poly_id, poly_geom, grid: CellGrid, level: int):
     per_df = _INDEX_CACHE.get(polys)
     if per_df is None:
         per_df = _INDEX_CACHE[polys] = {}
-        # fires when the DataFrame object is collected — the weak-key
-        # entry vanishes then too, so this is the last reference to
-        # the broadcasts; destroy them rather than leaking executor
-        # memory until the ContextCleaner notices
-        weakref.finalize(polys, _destroy_entries, per_df)
+        # fires when the DataFrame object is collected — release the
+        # executor copies eagerly rather than waiting on the
+        # ContextCleaner (see _release_entries for why not destroy)
+        weakref.finalize(polys, _release_entries, per_df)
     key = (poly_id, poly_geom, grid.x0, grid.y0, grid.span, level)
     bc = per_df.get(key)
     if bc is None:

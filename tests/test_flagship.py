@@ -100,3 +100,25 @@ def test_inner_box_is_interior(spark):
         py = np.clip(py, y0 + eps, y1 - eps)
         assert (pp.locate_batch(px, py) == gpred.INTERIOR).all()
     assert n_nonempty >= 40  # most district shapes admit an inner box
+
+
+def test_result_outlives_dimension_dataframe(spark):
+    """A flagship result DataFrame closes over the cached broadcast
+    index; collecting the dimension DataFrame (weak-key eviction +
+    finalizer) must NOT invalidate the surviving plan — the finalizer
+    unpersists (eager executor release) but never destroys."""
+    import gc as _gc
+
+    from geospark.io.pages import generate_districts, generate_pages
+    from geospark.ops.flagship import geocode_pip_tile_jvm
+
+    pages = generate_pages(spark, 2000)
+    districts = generate_districts(spark, 20)
+    out = geocode_pip_tile_jvm(pages, districts, tile_level=10, include_url=False)
+    n1 = out.count()
+    del districts
+    _gc.collect()
+    # the broadcast was unpersisted by the finalizer; the surviving
+    # plan must still execute (driver re-broadcasts on demand)
+    assert out.count() == n1
+    assert n1 > 0
