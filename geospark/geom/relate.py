@@ -200,6 +200,13 @@ def _classify_lineal(L_lw, G: Geometry, G_lw, g_dim: int) -> _LinealClasses:
                     )
         for v in c:
             loc = locate_point(G, v[0], v[1])
+            if g_dim == 1 and loc != EXTERIOR:
+                # locate_point's lineal boundary rule is per-part
+                # first-match; DE-9IM needs the MOD-2 rule (a point
+                # that is an endpoint of an even number of parts is
+                # INTERIOR even though it ends each part) — decide
+                # from the exact mod-2 endpoint set instead
+                loc = BOUNDARY if (v[0], v[1]) in g_bnd_pts else INTERIOR
             if (v[0], v[1]) in bnd_pts:
                 out.bnd.add(loc)
             else:

@@ -86,6 +86,10 @@ def geojson_df(spark, path_or_str: str):
     import pandas as pd
 
     rows = read_geojson(path_or_str)
+    if not rows:
+        # empty FeatureCollection: schema inference has nothing to
+        # work with — return the minimal contract schema
+        return spark.createDataFrame([], "`geometry` binary")
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
@@ -98,54 +102,79 @@ def _iter_feature_strings(fh, chunk_size: int = 1 << 20) -> Iterator[str]:
     """Stream a FeatureCollection document, yielding each top-level
     feature object's raw JSON text.
 
-    O(current-feature) memory: a bracket/string state machine finds the
-    `"features"` array and splits balanced {...} objects — the whole
-    document is never json.loads'd or even held in memory, so a
-    multi-GB FeatureCollection streams through the driver."""
+    O(current-feature) memory: a JSON-lexer-lite state machine finds
+    the ROOT object's `"features"` key (depth-anchored — a nested
+    "features" array inside a foreign member like `"metadata"` is
+    skipped, RFC 7946 §6.1 allows such members) and splits balanced
+    {...} objects; the whole document is never json.loads'd or held
+    in memory, so a multi-GB FeatureCollection streams through the
+    driver."""
     buf = ""
     pos = 0
-    phase = 0  # 0: seeking "features", 1: seeking '[', 2: in array
-    depth = 0
+    phase = 0  # 0: lexing for the root-level "features" key; 2: in array
+    rdepth = 0  # structural depth from document start (phase 0)
     in_str = False
     esc = False
+    key_chars = None  # capture of a depth-1 string (candidate key)
+    pending = None  # completed depth-1 string awaiting ':' check
+    expect = None  # None | "colon" | "bracket"
+    depth = 0  # feature-object depth (phase 2)
     start = -1
     cur: List[str] = []
     while True:
         if pos >= len(buf):
-            carry = ""
             if start >= 0:
                 # mid-feature: stash the started text, continue at 0
                 cur.append(buf[start:])
                 start = 0
-            elif phase == 0:
-                # keep a tail so '"features"' straddling the chunk
-                # edge is still found
-                carry = buf[-16:]
             nxt = fh.read(chunk_size)
             if not nxt:
                 return
-            buf = carry + nxt
+            buf = nxt
             pos = 0
+        c = buf[pos]
         if phase == 0:
-            i = buf.find('"features"', pos)
-            if i < 0:
-                pos = len(buf)
-                continue
-            pos = i + len('"features"')
-            phase = 1
-            continue
-        if phase == 1:
-            c = buf[pos]
             pos += 1
-            if c == "[":
-                phase = 2
-            elif c not in ": \t\r\n":
-                # '"features"' matched inside a string value, not the
-                # collection key — resume seeking
-                phase = 0
+            if in_str:
+                if esc:
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == '"':
+                    in_str = False
+                    if key_chars is not None:
+                        pending = (
+                            "".join(key_chars) if len(key_chars) <= 16 else None
+                        )
+                        key_chars = None
+                        expect = "colon"
+                elif key_chars is not None and len(key_chars) <= 16:
+                    key_chars.append(c)
+                continue
+            if expect is not None:
+                if c in " \t\r\n":
+                    continue
+                if expect == "colon" and c == ":" and pending == "features":
+                    expect = "bracket"
+                    continue
+                if expect == "bracket" and c == "[":
+                    phase = 2
+                    expect = pending = None
+                    continue
+                # not the features key / not an array value — resume
+                # structural scanning on this char
+                expect = pending = None
+            if c == '"':
+                in_str = True
+                key_chars = [] if rdepth == 1 else None
+            elif c in "{[":
+                rdepth += 1
+            elif c in "}]":
+                rdepth -= 1
+                if rdepth <= 0:
+                    return  # root closed without a features array
             continue
         # phase 2: inside the features array
-        c = buf[pos]
         if in_str:
             if esc:
                 esc = False
@@ -216,20 +245,33 @@ def read_geojson_spark(spark, path: str, features_per_part: int = 100_000, tmp_d
     if path.lstrip().startswith("{"):
         return geojson_df(spark, path)
 
-    # ndjson detection: first line is a complete JSON object
+    # ndjson detection: first line is a complete JSON object.  The
+    # read is BOUNDED — a single-line multi-GB FeatureCollection (the
+    # default json.dump output) must not be materialized or parsed on
+    # the driver just to sniff the format
+    sniff_cap = 4 << 20
     with open(path) as fh:
-        first = fh.readline()
+        first = fh.readline(sniff_cap)
     ndjson_glob = None
-    try:
-        obj = json.loads(first)
-        if obj.get("type") in ("Feature",) or obj.get("type") in _TYPES:
-            ndjson_glob = path
-    except (json.JSONDecodeError, AttributeError):
-        pass
+    if len(first) < sniff_cap:
+        try:
+            obj = json.loads(first)
+            if obj.get("type") in ("Feature",) or obj.get("type") in _TYPES:
+                ndjson_glob = path
+        except (json.JSONDecodeError, AttributeError):
+            pass
 
     if ndjson_glob is None:
-        # stage: FeatureCollection → rotating ndjson parts
+        # stage: FeatureCollection → rotating ndjson parts.  The
+        # staged copy is removed at PROCESS exit (not DataFrame GC —
+        # derived plans keep referencing the files without keeping
+        # the python DataFrame object alive, the same lifetime trap
+        # as destroying a closed-over broadcast)
         d = tempfile.mkdtemp(prefix="geojson_parts_", dir=tmp_dir)
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         n_part, n_in_part, out = 0, 0, None
         try:
             with open(path) as fh:
@@ -258,7 +300,14 @@ def read_geojson_spark(spark, path: str, features_per_part: int = 100_000, tmp_d
 
         pt = inferred.schema["properties"].dataType
         if isinstance(pt, T.StructType):
-            prop_fields = [(f.name, *_spark_to_kernel_type(f.dataType)) for f in pt.fields]
+            # a property named 'geometry' would collide with the
+            # synthesized WKB column; the driver parser drops it the
+            # same way (dict assignment order in features_from_obj)
+            prop_fields = [
+                (f.name, *_spark_to_kernel_type(f.dataType))
+                for f in pt.fields
+                if f.name != "geometry"
+            ]
     schema_ddl = ", ".join(
         [f"`{n}` {t}" for n, t, _ in prop_fields] + ["`geometry` binary"]
     )

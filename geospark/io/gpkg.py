@@ -219,27 +219,33 @@ def _table_plan(path: str, table: str, to_srid, columns, rowids):
 
 
 def _rowid_ranges(path: str, table: str, rows_per_partition: int):
-    """Balanced [lo, hi] rowid ranges via ORDER BY rowid OFFSET
-    boundary probes (pk-btree seeks, cheap) — even heavily sparse or
-    clustered rowids split into ~rows_per_partition-row tasks."""
+    """Balanced [lo, hi] rowid ranges — even heavily sparse or
+    clustered rowids split into ~rows_per_partition-row tasks.
+
+    Each boundary probe RESUMES from the previous boundary
+    (`WHERE rowid >= prev ... OFFSET rpp`), so every probe walks at
+    most rows_per_partition index entries and the whole pass is O(n)
+    driver work — an absolute-OFFSET probe (`OFFSET i*rpp`) walks
+    i·rpp entries per probe, O(n·k) total, a minutes-long driver
+    stall on a 100 M-row table."""
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
-        n = con.execute(f'SELECT count(*) FROM "{table}"').fetchone()[0]
-        if n == 0:
+        row = con.execute(f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
+        lo, hi = row
+        if lo is None:
             return []
-        lo, hi = con.execute(f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
-        k = max(1, -(-n // rows_per_partition))
-        bounds = [lo]
-        for i in range(1, k):
+        bounds = [int(lo)]
+        while True:
             b = con.execute(
-                f'SELECT rowid FROM "{table}" ORDER BY rowid LIMIT 1 OFFSET ?',
-                (i * rows_per_partition,),
+                f'SELECT rowid FROM "{table}" WHERE rowid >= ? '
+                "ORDER BY rowid LIMIT 1 OFFSET ?",
+                (bounds[-1], rows_per_partition),
             ).fetchone()
             if b is None:
                 break
-            bounds.append(b[0])
-        bounds.append(hi + 1)
-        return [(int(bounds[i]), int(bounds[i + 1] - 1)) for i in range(len(bounds) - 1)]
+            bounds.append(int(b[0]))
+        bounds.append(int(hi) + 1)
+        return [(bounds[i], bounds[i + 1] - 1) for i in range(len(bounds) - 1)]
     finally:
         con.close()
 

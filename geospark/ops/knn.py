@@ -61,6 +61,12 @@ def _env_cells_udf(grid: CellGrid, level: int):
             return np.clip(np.floor(f), 0, n - 1).astype(np.int64)
 
         ix0, ix1, iy0, iy1 = _idx(xmin), _idx(xmax), _idy(ymin), _idy(ymax)
+        # mixed finite-min/NaN-max envelopes: the NaN side saturates
+        # to 0, which could invert the range and make counts negative
+        # — clamp to a non-empty cover, matching env_cells_expr's
+        # F.greatest guard
+        ix1 = np.maximum(ix0, ix1)
+        iy1 = np.maximum(iy0, iy1)
         # flat construction, no per-row python loop: element j of row r
         # is cell (ix0[r] + j // ny[r], iy0[r] + j % ny[r]); ONE pack()
         # call over every cell of every row, then split at row offsets

@@ -229,6 +229,9 @@ def test_env_cells_expr_matches_numpy_spec(spark):
     x0[380:385] = np.nan
     y0[385:390] = np.inf
     x0[390:395] = -1e300
+    # mixed finite-min / NaN-max (inverts the raw range; both engines
+    # must clamp to a non-empty cover, not crash or disagree)
+    w[395:400] = np.nan
     pdf = pd.DataFrame({"xmin": x0, "ymin": y0, "xmax": x0 + w, "ymax": y0 + h})
     df = spark.createDataFrame(pdf)
     got = (

@@ -162,3 +162,41 @@ def test_geojson_distributed_matches_driver(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert list(c["k"]) == list(a["k"])
+
+
+def test_geojson_splitter_root_anchored_and_bounded(spark, tmp_path):
+    """The stream splitter must take the ROOT object's features array,
+    not a nested 'features' key inside a foreign member (RFC 7946
+    allows foreign members), and the ndjson sniff must not parse a
+    single-line collection on the driver."""
+    import json
+
+    from geospark.io.geojson import _iter_feature_strings, read_geojson_spark
+
+    fc = {
+        "type": "FeatureCollection",
+        "metadata": {"features": [{"a": 1}, {"b": 2}], "note": 'say "features" '},
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [float(i), 2.0]},
+                "properties": {"k": i},
+            }
+            for i in range(30)
+        ],
+    }
+    p = tmp_path / "decoy.json"
+    p.write_text(json.dumps(fc))  # single line — json.dump default shape
+
+    with open(p) as fh:
+        feats = [json.loads(s) for s in _iter_feature_strings(fh, chunk_size=64)]
+    assert len(feats) == 30
+    assert [f["properties"]["k"] for f in feats] == list(range(30))
+
+    got = read_geojson_spark(spark, str(p), features_per_part=7).toPandas()
+    assert sorted(got["k"]) == list(range(30))
+
+    # empty features array → driver fallback path, no crash
+    p2 = tmp_path / "empty.json"
+    p2.write_text(json.dumps({"type": "FeatureCollection", "features": []}))
+    assert read_geojson_spark(spark, str(p2)).toPandas().shape[0] == 0

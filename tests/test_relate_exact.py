@@ -237,22 +237,46 @@ def _rand_closed_line(rng):
     return C.line_string([[float(x), float(y)] for x, y in ring])
 
 
+def _rand_multiline(rng):
+    """2-part multilinestring; parts frequently share endpoints so the
+    mod-2 vs per-part boundary-rule divergence is exercised (an
+    endpoint shared by two parts is INTERIOR under mod-2)."""
+    a = _rand_line(rng)
+    pts_a = _linework(a)[0]
+    if rng.random() < 0.6:
+        # second part starts exactly at an endpoint of the first
+        start = pts_a[-1] if rng.random() < 0.5 else pts_a[0]
+        pts_b = [start]
+        while len(pts_b) < 3:
+            p = (rng.randint(0, 5), rng.randint(0, 5))
+            if (float(p[0]), float(p[1])) != (pts_b[-1][0], pts_b[-1][1]):
+                pts_b.append(p)
+        part_b = [[float(x), float(y)] for x, y in pts_b]
+    else:
+        part_b = [list(map(float, p)) for p in _linework(_rand_line(rng))[0]]
+    return C.multi_line_string([[list(map(float, p)) for p in pts_a], part_b])
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_relate_lineal_exact_vs_bruteforce(seed):
     """≥200 random lattice configs per combo class — engine matrix ==
     exact-arithmetic witness oracle."""
     rng = random.Random(1000 + seed)
     n_checked = 0
-    for trial in range(60):
-        pick = trial % 4
+    for trial in range(72):
+        pick = trial % 6
         if pick == 0:
             a, b = _rand_line(rng), _rand_line(rng)
         elif pick == 1:
             a, b = _rand_line(rng), _rand_ring_geom(rng)
         elif pick == 2:
             a, b = _rand_ring_geom(rng), _rand_line(rng)
-        else:
+        elif pick == 3:
             a, b = _rand_closed_line(rng), _rand_line(rng)
+        elif pick == 4:
+            a, b = _rand_line(rng), _rand_multiline(rng)
+        else:
+            a, b = _rand_multiline(rng), _rand_ring_geom(rng)
         if g_area(a) == 0 and a.gtype == C.POLYGON:
             continue
         got = relate_matrix(a, b)

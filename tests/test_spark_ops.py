@@ -445,3 +445,8 @@ def test_env_cells_udf_empty_batch_and_nan(spark):
     fin = pd.Series([100.0])
     out = fn(fin, nan, fin, nan)
     assert len(out) == 1 and len(out.iloc[0]) >= 1
+
+    # finite MIN with NaN MAX: the NaN side saturates to cell 0,
+    # inverting the raw range — must clamp, not raise
+    out = fn(fin, fin, nan, nan)
+    assert len(out) == 1 and len(out.iloc[0]) >= 1
