@@ -67,6 +67,12 @@ def main(argv=None):
         def stage_clean(s, outputs):
             # quality-gated canonical docs (the corpus_clean shape)
             d = outputs["docs"]
+            if "lang" not in d.columns:
+                # docs tables without a lang column get the engine's
+                # marker-word heuristic instead of failing the stage
+                from geospark.queries import _langid_pred
+
+                d = d.withColumn("lang", _langid_pred(F.col("text")))
             n_tokens = (
                 F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
             ).cast("long")
