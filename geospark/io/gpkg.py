@@ -264,7 +264,13 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
     ranges = _rowid_ranges(path, table, rows_per_partition)
     if not ranges:
         return spark.createDataFrame([], schema_ddl)
-    rng_df = spark.createDataFrame(ranges, "lo bigint, hi bigint").repartition(len(ranges))
+    # exactly ONE range per partition: repartition(n) hash-shuffles a
+    # small local relation UNEVENLY (measured 5 ranges landing in one
+    # partition → a 5× critical path); parallelize with n slices is
+    # deterministic 1:1
+    rng_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, len(ranges)), "lo bigint, hi bigint"
+    )
 
     def scan(batches):
         con = sqlite3.connect(f"file:{path}?mode=ro&immutable=1", uri=True)
