@@ -170,12 +170,15 @@ def _classify_lineal(L_lw, G: Geometry, G_lw, g_dim: int) -> _LinealClasses:
                 if self_bnd_ts:
                     ts = sorted(set(ts) | self_bnd_ts)
             for a_, b_ in zip(ts[:-1], ts[1:]):
-                if b_ - a_ <= 1e-12:
+                if b_ - a_ <= 5e-16:
                     # float splinter: two formulas (crossing solve vs
                     # collinear dot product) can land the SAME meet
-                    # point an ulp apart; classifying the micro-piece
-                    # between them risks a spurious EXTERIOR from a
-                    # midpoint that is on G up to rounding
+                    # point a few ulps apart; classifying the micro-
+                    # piece between them risks a spurious EXTERIOR
+                    # from a midpoint that is on G up to rounding.
+                    # Tolerance is ulp-scale in [0,1] param space —
+                    # absolute slivers (1e-12 of a long segment) are
+                    # REAL geometry and must still classify
                     continue
                 on_g = any(t0 <= a_ and b_ <= t1 for t0, t1 in intervals)
                 if on_g:

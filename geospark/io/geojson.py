@@ -140,6 +140,11 @@ def _iter_feature_strings(fh, chunk_size: int = 1 << 20) -> Iterator[str]:
                     esc = False
                 elif c == "\\":
                     esc = True
+                    # an escape sequence means the raw key text is NOT
+                    # the literal 'features' — invalidate the capture
+                    # (else a key like "features\n" would mis-match
+                    # because the escaped char is skipped)
+                    key_chars = None
                 elif c == '"':
                     in_str = False
                     if key_chars is not None:
@@ -252,8 +257,9 @@ def read_geojson_spark(spark, path: str, features_per_part: int = 100_000, tmp_d
     sniff_cap = 4 << 20
     with open(path) as fh:
         first = fh.readline(sniff_cap)
+    sniff_capped = len(first) >= sniff_cap
     ndjson_glob = None
-    if len(first) < sniff_cap:
+    if not sniff_capped:
         try:
             obj = json.loads(first)
             if obj.get("type") in ("Feature",) or obj.get("type") in _TYPES:
@@ -288,9 +294,19 @@ def read_geojson_spark(spark, path: str, features_per_part: int = 100_000, tmp_d
             if out is not None:
                 out.close()
         if n_part == 0:
-            # no features key / empty collection → driver fallback
-            return geojson_df(spark, path)
-        ndjson_glob = os.path.join(d, "part-*.json")
+            if sniff_capped:
+                # no root features array AND a first line too big to
+                # sniff: this is ndjson whose first Feature exceeds
+                # the sniff cap (a detailed boundary polygon) — route
+                # to the distributed line parser, NEVER to a driver
+                # json.loads of the whole multi-document file
+                ndjson_glob = path
+            else:
+                # small doc: bare geometry / empty collection →
+                # driver fallback
+                return geojson_df(spark, path)
+        else:
+            ndjson_glob = os.path.join(d, "part-*.json")
 
     files = sorted(_glob.glob(ndjson_glob)) if "*" in ndjson_glob else [ndjson_glob]
     inferred = spark.read.json(files)

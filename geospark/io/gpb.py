@@ -23,22 +23,30 @@ class GpbError(ValueError):
     pass
 
 
+def payload_offset(blob: bytes) -> int:
+    """Validated offset of the WKB payload inside a GP blob — the ONE
+    place that knows the header layout (magic, flags, envelope sizes).
+    Raises GpbError for bad magic, invalid envelope codes, and the
+    ExtendedGeoPackageBinary bit (flags bit 5 — the payload then
+    starts with a 4-byte extension code, not WKB; unsupported)."""
+    if len(blob) < 8 or blob[0] != 0x47 or blob[1] != 0x50:
+        raise GpbError(f"Not a GeoPackage geometry blob (bad magic): {blob[:2]!r}")
+    flags = blob[3]
+    if flags & 0x20:
+        raise GpbError("ExtendedGeoPackageBinary (flags bit 5) is not supported")
+    env_code = (flags >> 1) & 0x07
+    if env_code not in _ENVELOPE_DOUBLES:
+        raise GpbError(f"Invalid envelope indicator {env_code}")
+    return 8 + 8 * _ENVELOPE_DOUBLES[env_code]
+
+
 def decode(blob: Optional[bytes]) -> Optional[Tuple[gc.Geometry, int]]:
     """GeoPackage blob → (Geometry with srid set, srid).
     None passes through; bad magic / envelope code raise GpbError."""
     if blob is None:
         return None
-    if len(blob) < 8 or blob[0] != 0x47 or blob[1] != 0x50:
-        raise GpbError(
-            f"Not a GeoPackage geometry blob (bad magic): {blob[:2]!r}"
-        )
-    flags = blob[3]
-    little = bool(flags & 0x01)
-    env_code = (flags >> 1) & 0x07
-    if env_code not in _ENVELOPE_DOUBLES:
-        raise GpbError(f"Invalid envelope indicator {env_code}")
-    n_env = _ENVELOPE_DOUBLES[env_code]
-    header_len = 8 + 8 * n_env
+    header_len = payload_offset(blob)
+    little = bool(blob[3] & 0x01)
     srid = struct.unpack_from("<i" if little else ">i", blob, 4)[0]
     g = gc.from_wkb(memoryview(blob)[header_len:])
     g.srid = srid

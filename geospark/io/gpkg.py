@@ -222,12 +222,17 @@ def _rowid_ranges(path: str, table: str, rows_per_partition: int):
     """Balanced [lo, hi] rowid ranges — even heavily sparse or
     clustered rowids split into ~rows_per_partition-row tasks.
 
+    rows_per_partition must be >= 1 (an OFFSET of 0 would return the
+    previous bound itself and loop forever).
+
     Each boundary probe RESUMES from the previous boundary
     (`WHERE rowid >= prev ... OFFSET rpp`), so every probe walks at
     most rows_per_partition index entries and the whole pass is O(n)
     driver work — an absolute-OFFSET probe (`OFFSET i*rpp`) walks
     i·rpp entries per probe, O(n·k) total, a minutes-long driver
     stall on a 100 M-row table."""
+    if rows_per_partition < 1:
+        raise ValueError(f"rows_per_partition must be >= 1, got {rows_per_partition}")
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         row = con.execute(f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
@@ -241,8 +246,8 @@ def _rowid_ranges(path: str, table: str, rows_per_partition: int):
                 "ORDER BY rowid LIMIT 1 OFFSET ?",
                 (bounds[-1], rows_per_partition),
             ).fetchone()
-            if b is None:
-                break
+            if b is None or int(b[0]) <= bounds[-1]:
+                break  # defensive: a probe must always advance
             bounds.append(int(b[0]))
         bounds.append(int(hi) + 1)
         return [(bounds[i], bounds[i + 1] - 1) for i in range(len(bounds) - 1)]
@@ -312,20 +317,25 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
                 # engine wants: strip the GP header instead of the
                 # decode→re-encode round trip (measured 10× on the
                 # per-task decode cost; the embedded WKB passes
-                # through verbatim, exactly what the writer stored)
-                from .gpb import _ENVELOPE_DOUBLES, GpbError
+                # through verbatim, exactly what the writer stored).
+                # payload_offset validates magic/envelope/extended-bit
+                # so corrupt or ExtendedGeoPackageBinary blobs still
+                # fail AT THE SCAN with context, and the first payload
+                # byte is checked to be a WKB byte-order marker
+                from .gpb import GpbError, payload_offset
 
                 for b in pdf[col]:
                     if b is None:
                         geoms.append(None)
                         continue
                     b = bytes(b)
-                    if len(b) < 8 or b[0] != 0x47 or b[1] != 0x50:
-                        raise GpbError(f"bad GP magic: {b[:2]!r}")
-                    n_env = _ENVELOPE_DOUBLES.get((b[3] >> 1) & 0x07)
-                    if n_env is None:
-                        raise GpbError(f"invalid envelope code in flags {b[3]:#x}")
-                    geoms.append(b[8 + 8 * n_env :])
+                    off = payload_offset(b)
+                    if len(b) <= off or b[off] not in (0, 1):
+                        raise GpbError(
+                            f"GP blob payload is not WKB (first byte "
+                            f"{b[off:off + 1]!r})"
+                        )
+                    geoms.append(b[off:])
             else:
                 for b in pdf[col]:
                     if b is None:

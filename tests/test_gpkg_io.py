@@ -343,3 +343,30 @@ def test_distributed_scan_column_projection(spark, tmp_path):
     assert set(got.columns) == {"rowid", "keep", "geom", "srid", "table"}
     assert sorted(got["keep"]) == sorted(f"k{i}" for i in range(20))
     assert got["geom"].notna().all()
+
+
+def test_rowid_ranges_guards():
+    import pytest as _pytest
+
+    from geospark.io.gpkg import _rowid_ranges
+
+    with _pytest.raises(ValueError):
+        _rowid_ranges("/nonexistent", "t", 0)
+
+
+def test_gpb_payload_offset_rejects_extended_and_garbage():
+    import pytest as _pytest
+
+    from geospark.io import gpb
+    from geospark.geom import core as C
+
+    blob = gpb.encode(C.point(1, 2), 27700)
+    off = gpb.payload_offset(blob)
+    assert blob[off] in (0, 1)
+    # extended bit set → rejected
+    ext = bytearray(blob)
+    ext[3] |= 0x20
+    with _pytest.raises(gpb.GpbError):
+        gpb.payload_offset(bytes(ext))
+    with _pytest.raises(gpb.GpbError):
+        gpb.payload_offset(b"XXXXXXXXXX")

@@ -200,3 +200,21 @@ def test_geojson_splitter_root_anchored_and_bounded(spark, tmp_path):
     p2 = tmp_path / "empty.json"
     p2.write_text(json.dumps({"type": "FeatureCollection", "features": []}))
     assert read_geojson_spark(spark, str(p2)).toPandas().shape[0] == 0
+
+
+def test_geojson_escaped_key_decoy():
+    """A root key that normalizes to 'features' via an escape (e.g.
+    "features\\n") must NOT hijack the split."""
+    import io
+    import json
+
+    from geospark.io.geojson import _iter_feature_strings
+
+    doc = (
+        '{"type": "FeatureCollection", "features\\n": [{"fake": 1}], '
+        '"features": [{"type": "Feature", "geometry": null, '
+        '"properties": {"k": 7}}]}'
+    )
+    for cs in (1, 5, 1 << 20):
+        feats = [json.loads(s) for s in _iter_feature_strings(io.StringIO(doc), chunk_size=cs)]
+        assert len(feats) == 1 and feats[0]["properties"]["k"] == 7, cs
