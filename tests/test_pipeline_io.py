@@ -218,3 +218,38 @@ def test_geojson_escaped_key_decoy():
     for cs in (1, 5, 1 << 20):
         feats = [json.loads(s) for s in _iter_feature_strings(io.StringIO(doc), chunk_size=cs)]
         assert len(feats) == 1 and feats[0]["properties"]["k"] == 7, cs
+
+
+def test_geojson_ndjson_huge_first_line(spark, tmp_path):
+    """ndjson whose FIRST line exceeds the sniff cap must still route
+    to the distributed line parser (capped sniff → splitter finds no
+    root features array → ndjson), never a driver json.loads of the
+    whole multi-document file."""
+    import json
+
+    # a single Feature with a ~5 MB LineString (sniff cap is 4 MB)
+    n_pts = 320_000
+    big = {
+        "type": "Feature",
+        "geometry": {
+            "type": "LineString",
+            "coordinates": [[float(i % 997), float(i % 991)] for i in range(n_pts)],
+        },
+        "properties": {"k": 0},
+    }
+    small = {
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+        "properties": {"k": 1},
+    }
+    p = tmp_path / "huge.ndjson"
+    with open(p, "w") as fh:
+        fh.write(json.dumps(big) + "\n")
+        fh.write(json.dumps(small) + "\n")
+    assert p.stat().st_size > (4 << 20)
+
+    from geospark.io.geojson import read_geojson_spark
+
+    got = read_geojson_spark(spark, str(p)).toPandas().sort_values("k")
+    assert list(got["k"]) == [0, 1]
+    assert got.iloc[0]["geometry"] is not None and len(bytes(got.iloc[0]["geometry"])) > 2_000_000
