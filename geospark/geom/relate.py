@@ -14,7 +14,16 @@ from typing import Optional
 
 import numpy as np
 
-from .core import Geometry
+from .core import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+)
 from .ops import area, boundary_of, parts_of
 from .overlay import _dim, difference, intersection
 from .predicates import (
@@ -40,7 +49,56 @@ F_DIM = -1  # empty entry
 # ---------------------------------------------------------------------------
 
 
-def _seg_split_params(p1, p2, lw_other):
+def _decompose(g: Geometry):
+    """Top-level SFS decomposition: (point element coords, line parts,
+    has_areal_parts).  Rings of areal parts are NOT returned as lines
+    (they are boundary, not lineal interior)."""
+    pts: list = []
+    lines: list = []
+    has_area = False
+    stack = [g]
+    while stack:
+        x = stack.pop()
+        t = x.gtype
+        if t == POINT:
+            if len(x.parts):
+                pts.append((float(x.parts[0, 0]), float(x.parts[0, 1])))
+        elif t == MULTIPOINT:
+            for row in x.parts:
+                pts.append((float(row[0]), float(row[1])))
+        elif t == LINESTRING:
+            if len(x.parts) >= 2:
+                lines.append(np.asarray(x.parts, dtype=np.float64))
+        elif t == MULTILINESTRING:
+            for c in x.parts:
+                if len(c) >= 2:
+                    lines.append(np.asarray(c, dtype=np.float64))
+        elif t in (POLYGON, MULTIPOLYGON):
+            if not x.is_empty():
+                has_area = True
+        elif t == GEOMETRYCOLLECTION:
+            stack.extend(x.parts)
+    return pts, lines, has_area
+
+
+def _locate_low(x, y, pt_set: set, lines, mod2: set) -> int:
+    """Location of (x, y) against a points+lines geometry under union
+    semantics: explicit point elements are interior (interior-wins —
+    the JTS RelateNG GeometryCollection rule), mod-2 endpoints of the
+    combined linework are boundary (the classic MultiLineString
+    rule), any other on-linework point is interior."""
+    if (x, y) in pt_set:
+        return INTERIOR
+    from .predicates import _on_seg
+
+    for c in lines:
+        for i in range(len(c) - 1):
+            if _on_seg(c[i, 0], c[i, 1], c[i + 1, 0], c[i + 1, 1], x, y):
+                return BOUNDARY if (x, y) in mod2 else INTERIOR
+    return EXTERIOR
+
+
+def _seg_split_params(p1, p2, lw_other, pts_other=()):
     """Breakpoint params of segment (p1,p2) against another linework,
     the collinear-overlap intervals, and per-param provenance.
 
@@ -105,6 +163,14 @@ def _seg_split_params(p1, p2, lw_other):
             if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
                 params.add(t)
                 mark(t, (q1[0], q1[1]) if u == 0.0 else (q2[0], q2[1]) if u == 1.0 else None)
+    if pts_other:
+        from .predicates import _on_seg
+
+        for (qx, qy) in pts_other:
+            if _on_seg(p1[0], p1[1], p2[0], p2[1], qx, qy):
+                t = min(max(((qx - p1[0]) * dx + (qy - p1[1]) * dy) / len2, 0.0), 1.0)
+                params.add(t)
+                mark(t, (qx, qy))
     return sorted(params), intervals, prov
 
 
@@ -133,7 +199,7 @@ class _LinealClasses:
         self.bnd: set = set()     # locations of mod-2 boundary points
 
 
-def _classify_lineal(L_lw, G: Geometry, G_lw, g_dim: int) -> _LinealClasses:
+def _classify_lineal(L_lw, G: Geometry, G_lw, g_dim: int, L_pts=(), G_pts=()) -> _LinealClasses:
     """EXACT location classes of a lineal geometry's interior pieces,
     interior nodes, and boundary points against G.
 
@@ -141,16 +207,24 @@ def _classify_lineal(L_lw, G: Geometry, G_lw, g_dim: int) -> _LinealClasses:
     linework; an open piece then has ONE location class, read off its
     midpoint (or known from collinear-interval membership), so no
     contact stretch — however short — is ever missed, unlike the old
-    fixed-offset sampler."""
+    fixed-offset sampler.
+
+    L_pts / G_pts: explicit POINT elements when either operand is a
+    GeometryCollection mixing points with lines.  A point element of
+    L removes its coordinate from L's mod-2 boundary (interior-wins),
+    a point element of G adds a split event (its location class is
+    INTERIOR of G) and is excluded from G's boundary set."""
     out = _LinealClasses()
-    bnd_pts = _mod2_boundary_points(L_lw)
-    g_bnd_pts = _mod2_boundary_points(G_lw) if g_dim == 1 else set()
+    l_pt_set = set(L_pts)
+    g_pt_set = set(G_pts)
+    bnd_pts = _mod2_boundary_points(L_lw) - l_pt_set
+    g_bnd_pts = (_mod2_boundary_points(G_lw) - g_pt_set) if g_dim == 1 else set()
     for c in L_lw:
         for i in range(len(c) - 1):
             p1, p2 = c[i], c[i + 1]
             if p1[0] == p2[0] and p1[1] == p2[1]:
                 continue
-            ts, intervals, prov = _seg_split_params(p1, p2, G_lw)
+            ts, intervals, prov = _seg_split_params(p1, p2, G_lw, g_pt_set)
             # split at L's OWN mod-2 boundary points lying mid-segment
             # (self-overlapping lines: an odd endpoint of another part
             # can sit inside this segment; it belongs to ∂L, not the
@@ -222,39 +296,69 @@ def _classify_lineal(L_lw, G: Geometry, G_lw, g_dim: int) -> _LinealClasses:
     return out
 
 
-def _relate_line_line(a: Geometry, b: Geometry) -> str:
-    lwa, lwb = _linework(a), _linework(b)
-    ca = _classify_lineal(lwa, b, lwb, 1)
-    cb = _classify_lineal(lwb, a, lwa, 1)
-    ii = 1 if INTERIOR in ca.pieces else (0 if INTERIOR in ca.nodes else F_DIM)
-    ib = 0 if BOUNDARY in (ca.pieces | ca.nodes) else F_DIM
-    ie = 1 if EXTERIOR in ca.pieces else F_DIM
+def _relate_low_low(a: Geometry, b: Geometry) -> str:
+    """Exact DE-9IM for two geometries with no areal parts — any mix
+    of points and lines, including pure puntal sides and
+    GeometryCollections of points+lines (union semantics, interior-
+    wins for explicit point elements: the JTS RelateNG GC rule; the
+    pure-lineal case reduces to the classic mod-2 arrangement path
+    this engine has soaked since round 4)."""
+    pa, la, _ = _decompose(a)
+    pb, lb, _ = _decompose(b)
+    pa_set, pb_set = set(pa), set(pb)
+    mod2a = _mod2_boundary_points(la) - pa_set
+    mod2b = _mod2_boundary_points(lb) - pb_set
+    ca = _classify_lineal(la, b, lb, 1, L_pts=pa_set, G_pts=pb_set) if la else _LinealClasses()
+    cb = _classify_lineal(lb, a, la, 1, L_pts=pb_set, G_pts=pa_set) if lb else _LinealClasses()
+    # point elements are 0-dim interior witnesses of their own side
+    a_pt_locs = {_locate_low(x, y, pb_set, lb, mod2b) for (x, y) in pa_set}
+    b_pt_locs = {_locate_low(x, y, pa_set, la, mod2a) for (x, y) in pb_set}
+    a_int0 = ca.nodes | a_pt_locs
+    b_int0 = cb.nodes | b_pt_locs
+    ii = 1 if INTERIOR in ca.pieces else (0 if INTERIOR in a_int0 else F_DIM)
+    ib = 0 if BOUNDARY in (ca.pieces | a_int0) else F_DIM
+    ie = 1 if EXTERIOR in ca.pieces else (0 if EXTERIOR in a_int0 else F_DIM)
     bi = 0 if INTERIOR in ca.bnd else F_DIM
     bb = 0 if BOUNDARY in ca.bnd else F_DIM
     be = 0 if EXTERIOR in ca.bnd else F_DIM
-    ei = 1 if EXTERIOR in cb.pieces else F_DIM
+    ei = 1 if EXTERIOR in cb.pieces else (0 if EXTERIOR in b_int0 else F_DIM)
+    eb = 0 if EXTERIOR in cb.bnd else F_DIM
+    entries = [ii, ib, ie, bi, bb, be, ei, eb, 2]
+    return "".join("F" if e == F_DIM else str(e) for e in entries)
+
+
+def _relate_line_line(a: Geometry, b: Geometry) -> str:
+    return _relate_low_low(a, b)
+
+
+def _relate_area_low(a: Geometry, b: Geometry) -> str:
+    """a is pure areal, b has no areal parts (lines and/or points) —
+    exact entries from the piece classes of b against a, of ∂a
+    against b, and exact point-location of b's point elements."""
+    pb, lb, _ = _decompose(b)
+    pb_set = set(pb)
+    lwa = _linework(a)
+    cb = _classify_lineal(lb, a, lwa, 2, L_pts=pb_set) if lb else _LinealClasses()
+    # ∂a (the rings) against b's low geometry, as line vs line; b's
+    # point elements split the rings so no piece midpoint can land
+    # exactly on one
+    cad = _classify_lineal(lwa, b, lb, 1, G_pts=pb_set)
+    b_pt_locs = {locate_point(a, x, y) for (x, y) in pb_set}
+    b_int0 = cb.nodes | b_pt_locs
+    ii = 1 if INTERIOR in cb.pieces else (0 if INTERIOR in b_int0 else F_DIM)
+    ib = 0 if INTERIOR in cb.bnd else F_DIM
+    ie = 2  # a 0/1-dim geometry can never cover an open 2-set
+    bi = 1 if BOUNDARY in cb.pieces else (0 if BOUNDARY in b_int0 else F_DIM)
+    bb = 0 if BOUNDARY in cb.bnd else F_DIM
+    be = 1 if EXTERIOR in cad.pieces else F_DIM
+    ei = 1 if EXTERIOR in cb.pieces else (0 if EXTERIOR in b_int0 else F_DIM)
     eb = 0 if EXTERIOR in cb.bnd else F_DIM
     entries = [ii, ib, ie, bi, bb, be, ei, eb, 2]
     return "".join("F" if e == F_DIM else str(e) for e in entries)
 
 
 def _relate_area_line(a: Geometry, b: Geometry) -> str:
-    """a is areal, b lineal — exact entries from the piece classes of
-    b against a and of ∂a against b."""
-    lwa, lwb = _linework(a), _linework(b)
-    cb = _classify_lineal(lwb, a, lwa, 2)
-    # ∂a (the rings) against b's linework, as line vs line
-    cad = _classify_lineal(lwa, b, lwb, 1)
-    ii = 1 if INTERIOR in cb.pieces else F_DIM
-    ib = 0 if INTERIOR in cb.bnd else F_DIM
-    ie = 2  # a 1-dim line can never cover an open 2-set
-    bi = 1 if BOUNDARY in cb.pieces else (0 if BOUNDARY in cb.nodes else F_DIM)
-    bb = 0 if BOUNDARY in cb.bnd else F_DIM
-    be = 1 if EXTERIOR in cad.pieces else F_DIM
-    ei = 1 if EXTERIOR in cb.pieces else F_DIM
-    eb = 0 if EXTERIOR in cb.bnd else F_DIM
-    entries = [ii, ib, ie, bi, bb, be, ei, eb, 2]
-    return "".join("F" if e == F_DIM else str(e) for e in entries)
+    return _relate_area_low(a, b)
 
 
 def _transpose_matrix(m: str) -> str:
@@ -371,19 +475,28 @@ def _relate_area_area(a: Geometry, b: Geometry, ba: Geometry, bb_: Geometry) -> 
 
 
 def relate_matrix(a: Geometry, b: Geometry) -> str:
-    """DE-9IM string, row-major II IB IE / BI BB BE / EI EB EE."""
+    """DE-9IM string, row-major II IB IE / BI BB BE / EI EB EE.
+
+    Exact (sampling-free) for every combination of pure puntal,
+    lineal, areal operands AND for GeometryCollections mixing points
+    with lines (union semantics, round 5).  Only GCs that mix areal
+    parts with other dimensions — which the reference's JTS RelateOp
+    rejects outright — fall through to the sampled estimate below."""
     da, db = _dim(a), _dim(b)
     ba, bb_ = _boundary(a), _boundary(b)
-    if da == 2 and db == 2 and ba is not None and bb_ is not None:
-        return _relate_area_area(a, b, ba, bb_)
     if not a.is_empty() and not b.is_empty():
-        # exact lineal paths (no sampling)
-        if da == 1 and db == 1:
-            return _relate_line_line(a, b)
-        if da == 2 and db == 1:
-            return _relate_area_line(a, b)
-        if da == 1 and db == 2:
-            return _transpose_matrix(_relate_area_line(b, a))
+        pa, la, aa = _decompose(a)
+        pb, lb, ab = _decompose(b)
+        pure_area_a = aa and not pa and not la
+        pure_area_b = ab and not pb and not lb
+        if pure_area_a and pure_area_b and ba is not None and bb_ is not None:
+            return _relate_area_area(a, b, ba, bb_)
+        if not aa and not ab:
+            return _relate_low_low(a, b)
+        if pure_area_a and not ab:
+            return _relate_area_low(a, b)
+        if pure_area_b and not aa:
+            return _transpose_matrix(_relate_area_low(b, a))
 
     def dim_II() -> int:
         if a.is_empty() or b.is_empty() or not _interiors_intersect(a, b):

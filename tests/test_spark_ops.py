@@ -77,6 +77,34 @@ def test_pip_join_salted_same_result(spark):
     )
 
 
+def test_pip_join_bbox_prefilter_same_result(spark):
+    """Opt-in JVM bbox prefilter (round-5 A/B: measured net-negative
+    on both sparse and dense candidate mixes, kept as an option —
+    BENCH/round5_pip_join_decomposition.json) must not change the
+    result set, including boundary/touches hits on the envelope."""
+    from geospark.ops.joins import pip_join
+
+    rng = np.random.RandomState(11)
+    n = 800
+    xs = np.concatenate([rng.uniform(-5, 25, n - 4), [0.0, 10.0, 0.0, 10.0]])
+    ys = np.concatenate([rng.uniform(-5, 25, n - 4), [0.0, 10.0, 5.0, 5.0]])
+    pts = pd.DataFrame({"point_id": np.arange(n), "x": xs, "y": ys})
+    polys = pd.DataFrame(
+        {"poly_id": [0, 1], "geom": [C.to_wkb(C.from_wkt(SQ1)), C.to_wkb(C.from_wkt(SQ2))]}
+    )
+    for pred in ("intersects", "touches", "contains"):
+        plain = pip_join(
+            spark.createDataFrame(pts), spark.createDataFrame(polys), predicate=pred
+        ).toPandas()
+        filt = pip_join(
+            spark.createDataFrame(pts), spark.createDataFrame(polys),
+            predicate=pred, bbox_prefilter=True,
+        ).toPandas()
+        assert set(zip(plain["point_id"], plain["poly_id"])) == set(
+            zip(filt["point_id"], filt["poly_id"])
+        )
+
+
 def test_predicate_join_modes(spark, squares_df):
     from geospark.ops.joins import predicate_join
 
