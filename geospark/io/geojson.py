@@ -98,6 +98,17 @@ def geojson_df(spark, path_or_str: str):
 # ---------------------------------------------------------------------------
 
 
+# staged-ndjson LRU: (abspath, mtime, features_per_part) → (dir, n_part).
+# Past the cap the OLDEST staged dir is deleted eagerly; a DataFrame
+# still lazily referencing an evicted dir would fail on re-execution,
+# so the cap trades that (rare: >4 distinct multi-GB collections live
+# at once) against unbounded driver-disk growth over a session.
+from collections import OrderedDict
+
+_STAGED_DIRS: "OrderedDict[tuple, tuple]" = OrderedDict()
+_STAGED_DIRS_MAX = 4
+
+
 def _iter_feature_strings(fh, chunk_size: int = 1 << 20) -> Iterator[str]:
     """Stream a FeatureCollection document, yielding each top-level
     feature object's raw JSON text.
@@ -195,6 +206,15 @@ def _iter_feature_strings(fh, chunk_size: int = 1 << 20) -> Iterator[str]:
                 start = pos
             elif c == "]":
                 return
+            elif c not in " \t\r\n,":
+                # a non-object element (string, number, nested array,
+                # literal) in the features array: raising beats the
+                # old behavior of a stray ']' inside such an element
+                # silently dropping every remaining feature
+                raise ValueError(
+                    f"features array contains a non-object element "
+                    f"(unexpected {c!r}); every element must be a Feature object"
+                )
             pos += 1
             continue
         if c == '"':
@@ -242,7 +262,15 @@ def read_geojson_spark(spark, path: str, features_per_part: int = 100_000, tmp_d
     inference over the ndjson; geometry decodes to WKB in a
     mapInPandas kernel (recursive coordinate decoder is python, but
     Arrow-batched and executor-side).  Non-primitive property values
-    ride along as JSON strings."""
+    ride along as JSON strings.
+
+    SHARED-FILESYSTEM REQUIREMENT: executors read `path` (ndjson) or
+    the staged part files directly, so on a multi-machine cluster
+    both must live on a filesystem all executors mount at the same
+    path.  Staged parts land in a driver-local tempdir by default —
+    on a non-local master pass tmp_dir= pointing at a shared mount
+    (the FeatureCollection staging falls back to the driver-side
+    parser when the master is not local and no tmp_dir is given)."""
     import glob as _glob
     import os
     import tempfile
@@ -268,31 +296,61 @@ def read_geojson_spark(spark, path: str, features_per_part: int = 100_000, tmp_d
             pass
 
     if ndjson_glob is None:
-        # stage: FeatureCollection → rotating ndjson parts.  The
-        # staged copy is removed at PROCESS exit (not DataFrame GC —
-        # derived plans keep referencing the files without keeping
-        # the python DataFrame object alive, the same lifetime trap
-        # as destroying a closed-over broadcast)
-        d = tempfile.mkdtemp(prefix="geojson_parts_", dir=tmp_dir)
-        import atexit
-        import shutil
-
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        n_part, n_in_part, out = 0, 0, None
+        # stage: FeatureCollection → rotating ndjson parts.  Staged
+        # dirs are CACHED per (abspath, mtime, features_per_part) —
+        # re-reading the same collection in one session reuses the
+        # parts instead of re-splitting and re-copying a multi-GB
+        # document — and the cache is BOUNDED (LRU, oldest staged dir
+        # deleted eagerly past the cap), so a long-lived session that
+        # reads many distinct collections no longer accumulates full
+        # staged copies for its whole lifetime.  Whatever survives is
+        # removed at PROCESS exit (not DataFrame GC — derived plans
+        # keep referencing the files without keeping the python
+        # DataFrame object alive, the same lifetime trap as
+        # destroying a closed-over broadcast).
         try:
-            with open(path) as fh:
-                for feat in _iter_feature_strings(fh):
-                    if out is None or n_in_part >= features_per_part:
-                        if out is not None:
-                            out.close()
-                        out = open(os.path.join(d, f"part-{n_part:05d}.json"), "w")
-                        n_part += 1
-                        n_in_part = 0
-                    out.write(feat.replace("\n", " ") + "\n")
-                    n_in_part += 1
-        finally:
-            if out is not None:
-                out.close()
+            is_local = spark.sparkContext.master.startswith("local")
+        except Exception:
+            is_local = False
+        if not is_local and tmp_dir is None:
+            # staged parts in a driver-local tempdir are unreadable
+            # from remote executors — driver-side parse is the safe
+            # fallback (pass tmp_dir= on a shared mount to distribute)
+            return geojson_df(spark, path)
+        cache_key = (os.path.abspath(path), os.path.getmtime(path), features_per_part)
+        cached = _STAGED_DIRS.get(cache_key)
+        if cached is not None and os.path.isdir(cached[0]):
+            _STAGED_DIRS.move_to_end(cache_key)
+            d, n_part = cached
+        else:
+            d = tempfile.mkdtemp(prefix="geojson_parts_", dir=tmp_dir)
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            n_part, n_in_part, out = 0, 0, None
+            try:
+                with open(path) as fh:
+                    for feat in _iter_feature_strings(fh):
+                        if out is None or n_in_part >= features_per_part:
+                            if out is not None:
+                                out.close()
+                            out = open(os.path.join(d, f"part-{n_part:05d}.json"), "w")
+                            n_part += 1
+                            n_in_part = 0
+                        out.write(feat.replace("\n", " ") + "\n")
+                        n_in_part += 1
+            except Exception:
+                shutil.rmtree(d, ignore_errors=True)
+                raise
+            finally:
+                if out is not None:
+                    out.close()
+            if n_part:
+                _STAGED_DIRS[cache_key] = (d, n_part)
+                while len(_STAGED_DIRS) > _STAGED_DIRS_MAX:
+                    _k, (old, _n) = _STAGED_DIRS.popitem(last=False)
+                    shutil.rmtree(old, ignore_errors=True)
         if n_part == 0:
             if sniff_capped:
                 # no root features array AND a first line too big to

@@ -196,6 +196,19 @@ def _table_plan(path: str, table: str, to_srid, columns, rowids):
         con.close()
     gcol = geometry_column(path, table)
     gname = gcol[0] if gcol else None
+    # the distributed plan SYNTHESIZES columns named srid/table (and
+    # renames the geometry column to geom, and rowid when rowids=True);
+    # a source table with a real column of one of those names would
+    # collide in the mapInPandas schema — fall back to the driver-side
+    # read, which resolves the collision by deterministic overwrite
+    src_names = {r[1] for r in info if r[1] != "fid" and r[1] != gname}
+    synthesized = {"srid", "table"} if gname is not None else {"table"}
+    if rowids:
+        synthesized.add("rowid")
+    if gname is not None and gname != "geom":
+        synthesized.add("geom")
+    if src_names & synthesized:
+        return None
     fields = []
     if rowids:
         fields.append(("rowid", "bigint"))
@@ -253,6 +266,75 @@ def _rowid_ranges(path: str, table: str, rows_per_partition: int):
         return [(bounds[i], bounds[i + 1] - 1) for i in range(len(bounds) - 1)]
     finally:
         con.close()
+
+
+def _coerce_storage_classes(pdf, fields, table):
+    """SQLite permits values whose storage class differs from the
+    column's declared affinity (a REAL or TEXT value in an
+    INTEGER-declared column); with Arrow's safecheck off (the Spark
+    default) a non-integral float would silently TRUNCATE to bigint.
+    Lossless coercions are applied in place; lossy ones raise with
+    the row context (read the table via the driver path — e.g.
+    read_gpkg(distributed=False) — to use inferred schema instead)."""
+    from .gpb import GpbError
+
+    for name, t in fields:
+        if name in ("geom", "srid", "table", "rowid") or name not in pdf.columns:
+            continue
+        col = pdf[name]
+        if t == "bigint":
+            if col.dtype.kind == "i":
+                continue
+
+            def fix_int(v):
+                if v is None or isinstance(v, int):
+                    return v
+                if isinstance(v, float):
+                    if v != v:
+                        return None  # NULL promoted to NaN by pandas float64
+                    if v.is_integer():
+                        return int(v)
+                    raise GpbError(
+                        f"GPKG {table}.{name}: non-integral REAL value {v!r} in an "
+                        "INTEGER-declared column; read with distributed=False"
+                    )
+                raise GpbError(
+                    f"GPKG {table}.{name}: {type(v).__name__} value in an "
+                    "INTEGER-declared column; read with distributed=False"
+                )
+
+            pdf[name] = col.map(fix_int)
+        elif t == "double":
+            if col.dtype.kind == "f":
+                continue
+
+            def fix_float(v):
+                if v is None or isinstance(v, float):
+                    return v
+                if isinstance(v, int):
+                    return float(v)
+                raise GpbError(
+                    f"GPKG {table}.{name}: {type(v).__name__} value in a "
+                    "REAL-declared column; read with distributed=False"
+                )
+
+            pdf[name] = col.map(fix_float)
+        elif t == "string":
+            bad = col.map(lambda v: v is not None and not isinstance(v, str))
+            if bad.any():
+                v = col[bad].iloc[0]
+                raise GpbError(
+                    f"GPKG {table}.{name}: {type(v).__name__} value in a "
+                    "TEXT-declared column; read with distributed=False"
+                )
+        elif t == "binary":
+            bad = col.map(lambda v: v is not None and not isinstance(v, (bytes, bytearray, memoryview)))
+            if bad.any():
+                v = col[bad].iloc[0]
+                raise GpbError(
+                    f"GPKG {table}.{name}: {type(v).__name__} value in a "
+                    "BLOB-declared column; read with distributed=False"
+                )
 
 
 def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, rows_per_partition):
@@ -351,6 +433,7 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
             pdf = pdf.rename(columns={col: "geom"})
             pdf["srid"] = to_srid if to_srid is not None else srid
         pdf["table"] = table
+        _coerce_storage_classes(pdf, fields, table)
         return pdf.reindex(columns=out_names)
 
     return rng_df.mapInPandas(scan, schema=schema_ddl)
@@ -364,6 +447,7 @@ def read_gpkg(
     columns: Optional[List[str]] = None,
     rowids: bool = False,
     rows_per_partition: int = 250_000,
+    distributed: Optional[bool] = None,
 ):
     """GeoPackage → DataFrame.  Geometry column becomes plain WKB
     `geom` + `srid` int; multiple tables chain (UNION) like the
@@ -374,12 +458,27 @@ def read_gpkg(
     executor task opens the file `mode=ro&immutable=1` and decodes its
     own range (blob→WKB + optional reprojection), so a multi-GB
     GeoPackage never materializes on the driver.  Tables whose
-    declared column types can't be mapped deterministically fall back
-    to the driver-side inferred read (bounded to that table)."""
+    declared column types can't be mapped deterministically, or whose
+    column names collide with the synthesized geom/srid/table/rowid
+    columns, fall back to the driver-side inferred read (bounded to
+    that table).
+
+    SHARED-FILESYSTEM REQUIREMENT: the distributed scan has every
+    task open `path` directly, so on a multi-machine cluster the file
+    must live on a filesystem all executors mount at the same path
+    (NFS, fuse-mounted object store, ...).  distributed=None (default)
+    uses the distributed scan only when the master is local[*];
+    pass distributed=True to assert the path is shared on a real
+    cluster, or distributed=False to force the driver-side read."""
+    if distributed is None:
+        try:
+            distributed = spark.sparkContext.master.startswith("local")
+        except Exception:
+            distributed = False
     tables = [table] if table else table_names(path, spatial_only=False)
     dfs = []
     for t in tables:
-        plan = _table_plan(path, t, to_srid, columns, rowids)
+        plan = _table_plan(path, t, to_srid, columns, rowids) if distributed else None
         if plan is None:
             pdf = _read_table(path, t, to_srid, columns, rowids)
             pdf["table"] = t

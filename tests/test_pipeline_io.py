@@ -253,3 +253,110 @@ def test_geojson_ndjson_huge_first_line(spark, tmp_path):
     got = read_geojson_spark(spark, str(p)).toPandas().sort_values("k")
     assert list(got["k"]) == [0, 1]
     assert got.iloc[0]["geometry"] is not None and len(bytes(got.iloc[0]["geometry"])) > 2_000_000
+
+
+def test_geojson_nonobject_feature_element_raises(spark, tmp_path):
+    """ADVICE r4: a non-object element in the features array (string,
+    nested array) must raise instead of a stray ']' inside it silently
+    dropping every remaining feature."""
+    import json
+
+    import pytest
+
+    feat = {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+            "properties": {"k": 0}}
+    for bad_elem in ('"str]ing"', "[1, 2]"):
+        doc = '{"type": "FeatureCollection", "features": [%s, %s]}' % (
+            bad_elem, json.dumps(feat))
+        p = tmp_path / "bad.json"
+        p.write_text(doc)
+        from geospark.io.geojson import read_geojson_spark
+
+        with pytest.raises(ValueError, match="non-object element"):
+            read_geojson_spark(spark, str(p))
+
+
+def test_geojson_staged_dir_cache_and_bound(spark, tmp_path):
+    """ADVICE r4: staged ndjson dirs are reused per (path, mtime) and
+    the LRU is bounded — oldest staged dir deleted past the cap."""
+    import json
+    import os
+
+    from geospark.io import geojson as gj
+
+    gj._STAGED_DIRS.clear()
+
+    def fc(path, k):
+        doc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [float(k), 2.0]},
+             "properties": {"k": k}}]}
+        path.write_text(json.dumps(doc))
+
+    p0 = tmp_path / "a.json"
+    fc(p0, 0)
+    read_geojson_spark = gj.read_geojson_spark
+    read_geojson_spark(spark, str(p0)).count()
+    assert len(gj._STAGED_DIRS) == 1
+    d0 = next(iter(gj._STAGED_DIRS.values()))[0]
+    read_geojson_spark(spark, str(p0)).count()  # reuse, no new dir
+    assert len(gj._STAGED_DIRS) == 1
+    assert next(iter(gj._STAGED_DIRS.values()))[0] == d0
+    # exceed the cap: oldest dir evicted and removed from disk
+    for i in range(1, gj._STAGED_DIRS_MAX + 1):
+        p = tmp_path / f"m{i}.json"
+        fc(p, i)
+        read_geojson_spark(spark, str(p)).count()
+    assert len(gj._STAGED_DIRS) == gj._STAGED_DIRS_MAX
+    assert not os.path.isdir(d0)
+
+
+def test_gpkg_scan_column_name_collision_falls_back(spark, tmp_path):
+    """ADVICE r4: a source column named table/srid (or a non-geometry
+    geom) collides with the distributed scan's synthesized columns —
+    the plan must return None so the driver-side read handles it."""
+    import sqlite3
+
+    from geospark.io import gpkg
+
+    p = str(tmp_path / "c.gpkg")
+    con = sqlite3.connect(p)
+    gpkg._bootstrap(con)
+    con.execute('CREATE TABLE t (fid INTEGER PRIMARY KEY, "table" TEXT, v INTEGER)')
+    con.execute("INSERT INTO gpkg_contents (table_name, data_type, identifier) VALUES ('t','attributes','t')")
+    con.executemany('INSERT INTO t ("table", v) VALUES (?, ?)', [("x", 1), ("y", 2)])
+    con.commit()
+    con.close()
+    assert gpkg._table_plan(p, "t", None, None, False) is None
+    got = gpkg.read_gpkg(spark, "%s" % p, "t").toPandas()
+    assert sorted(got["v"]) == [1, 2]
+
+
+def test_gpkg_scan_affinity_mismatch(spark, tmp_path):
+    """ADVICE r4: SQLite allows REAL/TEXT values in INTEGER-declared
+    columns; the distributed scan must coerce losslessly (5.0 → 5) and
+    raise on lossy values (2.5) instead of silently truncating through
+    Arrow with safecheck off."""
+    import sqlite3
+
+    import pytest
+
+    from geospark.io import gpkg
+    from geospark.io.gpb import GpbError
+
+    p = str(tmp_path / "aff.gpkg")
+    con = sqlite3.connect(p)
+    gpkg._bootstrap(con)
+    con.execute("CREATE TABLE t (fid INTEGER PRIMARY KEY, v INTEGER)")
+    con.execute("INSERT INTO gpkg_contents (table_name, data_type, identifier) VALUES ('t','attributes','t')")
+    con.executemany("INSERT INTO t (v) VALUES (?)", [(1,), (5.0,), (None,)])
+    con.commit()
+    con.close()
+    got = gpkg.read_gpkg(spark, p, "t").toPandas()
+    assert sorted(x for x in got["v"] if x == x and x is not None) == [1, 5]
+
+    con = sqlite3.connect(p)
+    con.execute("INSERT INTO t (v) VALUES (2.5)")
+    con.commit()
+    con.close()
+    with pytest.raises(Exception, match="INTEGER-declared"):
+        gpkg.read_gpkg(spark, p, "t").toPandas()
