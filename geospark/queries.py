@@ -1801,6 +1801,7 @@ def registry() -> Dict[str, Callable]:
         q_polygonize,
         q_predicates_box,
         q_relate_box,
+        q_relate_low,
         q_reproject_roundtrip,
         q_rings_ops,
         q_smooth_line,
@@ -1820,6 +1821,7 @@ def registry() -> Dict[str, Callable]:
         "node_grid": q_node_grid,
         "predicates_box": q_predicates_box,
         "relate_box": q_relate_box,
+        "relate_low": q_relate_low,
         "reproject_roundtrip": q_reproject_roundtrip,
         "measures_box": q_measures_box,
         "hull_points": q_hull_points,
@@ -1891,6 +1893,7 @@ def oracles() -> Dict[str, str]:
         Q_POLYGONIZE_SQL,
         Q_PREDICATES_SQL,
         Q_RELATE_SQL,
+        Q_RELATE_LOW_SQL,
         Q_REPROJECT_SQL,
         Q_RINGS_SQL,
         Q_SMOOTH_SQL,
@@ -1910,6 +1913,7 @@ def oracles() -> Dict[str, str]:
         "node_grid": Q_NODE_GRID_SQL,
         "predicates_box": Q_PREDICATES_SQL,
         "relate_box": Q_RELATE_SQL,
+        "relate_low": Q_RELATE_LOW_SQL,
         "reproject_roundtrip": Q_REPROJECT_SQL,
         "measures_box": Q_MEASURES_SQL,
         "hull_points": Q_HULL_SQL,

@@ -929,6 +929,141 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# DE-9IM relate for point+line GeometryCollections vs boxes (round 5:
+# the sampling-free low-dim path, union semantics)
+# ---------------------------------------------------------------------------
+
+def q_relate_low(spark, sf_dir) -> DataFrame:
+    """DE-9IM matrices of GEOMETRYCOLLECTION(vertical segment, point)
+    operands against axis-aligned boxes through the real relate kernel
+    (geom/relate.py:_relate_area_low transposed; union semantics —
+    explicit point elements are interior-wins, JTS RelateNG GC rule;
+    reference: classic JTS RelateOp REJECTS GC operands, core.clj:271
+    relates? would throw — this engine computes them exactly).
+
+    Every fourth A snaps its point onto the segment's bottom endpoint,
+    removing that endpoint from ∂A (interior-wins) — the oracle
+    reproduces each of the 9 entries by interval case analysis on the
+    lattice, so the driver grades the new exact path hash-exact."""
+    from .functions import st_geomfromtext
+
+    n = _t(spark, sf_dir, "nation")
+
+    k = F.col("n_nationkey")
+    a_rows = n.select(
+        k.alias("a_key"),
+        ((k * 3) % 20).alias("lx"),
+        ((k * 7) % 20).alias("ly0"),
+        ((k * 7) % 20 + 4).alias("ly1"),
+        F.when(k % 4 == 0, (k * 3) % 20).otherwise((k * 11) % 20).alias("px"),
+        F.when(k % 4 == 0, (k * 7) % 20).otherwise((k * 5) % 20).alias("py"),
+    )
+    a = a_rows.select(
+        "a_key",
+        st_geomfromtext(
+            F.format_string(
+                "GEOMETRYCOLLECTION (LINESTRING (%d %d, %d %d), POINT (%d %d))",
+                F.col("lx"), F.col("ly0"), F.col("lx"), F.col("ly1"),
+                F.col("px"), F.col("py"),
+            )
+        ).alias("g_a"),
+    )
+    kb = F.col("n_nationkey")
+    b = n.select(
+        kb.alias("b_key"),
+        st_geomfromtext(
+            F.format_string(
+                "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+                (kb * 9) % 20, (kb * 13) % 20,
+                (kb * 9) % 20 + 5 + 5 * (kb % 2), (kb * 13) % 20,
+                (kb * 9) % 20 + 5 + 5 * (kb % 2), (kb * 13) % 20 + 5 + 5 * (kb % 2),
+                (kb * 9) % 20, (kb * 13) % 20 + 5 + 5 * (kb % 2),
+                (kb * 9) % 20, (kb * 13) % 20,
+            )
+        ).alias("g_b"),
+    )
+    src = a.crossJoin(b)
+    out_schema = StructType(
+        [
+            StructField("a_key", src.schema["a_key"].dataType),
+            StructField("b_key", src.schema["b_key"].dataType),
+            StructField("de9im", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .geom import core as gc
+        from .geom.relate import relate_matrix
+
+        for pdf in batches:
+            rows = [
+                (ak, bk, relate_matrix(gc.from_wkb(wa), gc.from_wkb(wb)))
+                for ak, bk, wa, wb in zip(
+                    pdf["a_key"], pdf["b_key"], pdf["g_a"], pdf["g_b"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["a_key", "b_key", "de9im"])
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+Q_RELATE_LOW_SQL = """
+WITH a AS (
+  SELECT n_nationkey AS a_key,
+         (n_nationkey*3)%20 AS lx,
+         (n_nationkey*7)%20 AS y0,
+         (n_nationkey*7)%20 + 4 AS y1,
+         CASE WHEN n_nationkey%4=0 THEN (n_nationkey*3)%20 ELSE (n_nationkey*11)%20 END AS px,
+         CASE WHEN n_nationkey%4=0 THEN (n_nationkey*7)%20 ELSE (n_nationkey*5)%20 END AS py
+  FROM nation),
+b AS (
+  SELECT n_nationkey AS b_key,
+         (n_nationkey*9)%20 AS bx0, (n_nationkey*13)%20 AS by0,
+         (n_nationkey*9)%20 + 5 + 5*(n_nationkey%2) AS bx1,
+         (n_nationkey*13)%20 + 5 + 5*(n_nationkey%2) AS by1
+  FROM nation),
+p AS (SELECT * FROM a, b),
+r AS (
+  SELECT a_key, b_key,
+    -- P location against the box
+    (px > bx0 AND px < bx1 AND py > by0 AND py < by1) AS p_in,
+    (px >= bx0 AND px <= bx1 AND py >= by0 AND py <= by1
+      AND (px = bx0 OR px = bx1 OR py = by0 OR py = by1)) AS p_on,
+    NOT (px >= bx0 AND px <= bx1 AND py >= by0 AND py <= by1) AS p_out,
+    -- open-stretch overlaps of the vertical segment x=lx, y in [y0,y1]
+    (lx > bx0 AND lx < bx1 AND LEAST(y1, by1) > GREATEST(y0, by0)) AS seg_in_open,
+    ((lx = bx0 OR lx = bx1) AND LEAST(y1, by1) > GREATEST(y0, by0)) AS seg_on_edge,
+    -- 0-dim boundary touches of the segment INTERIOR (strict y0<.<y1)
+    ((lx > bx0 AND lx < bx1 AND ((y0 < by0 AND by0 < y1) OR (y0 < by1 AND by1 < y1)))
+     OR ((lx = bx0 OR lx = bx1) AND LEAST(y1, by1) = GREATEST(y0, by0)
+         AND y0 < GREATEST(y0, by0) AND GREATEST(y0, by0) < y1)) AS seg_touch_b,
+    -- positive-length stretch of the open segment outside the closed box
+    (lx < bx0 OR lx > bx1 OR y0 < by0 OR y1 > by1) AS seg_out,
+    -- boundary endpoints of A (mod-2 minus the interior-wins point element)
+    NOT (px = lx AND py = y0) AS e1_active,
+    NOT (px = lx AND py = y1) AS e2_active,
+    (lx > bx0 AND lx < bx1 AND y0 > by0 AND y0 < by1) AS e1_in,
+    (lx > bx0 AND lx < bx1 AND y1 > by0 AND y1 < by1) AS e2_in,
+    (lx >= bx0 AND lx <= bx1 AND y0 >= by0 AND y0 <= by1
+      AND (lx = bx0 OR lx = bx1 OR y0 = by0 OR y0 = by1)) AS e1_on,
+    (lx >= bx0 AND lx <= bx1 AND y1 >= by0 AND y1 <= by1
+      AND (lx = bx0 OR lx = bx1 OR y1 = by0 OR y1 = by1)) AS e2_on,
+    NOT (lx >= bx0 AND lx <= bx1 AND y0 >= by0 AND y0 <= by1) AS e1_out,
+    NOT (lx >= bx0 AND lx <= bx1 AND y1 >= by0 AND y1 <= by1) AS e2_out
+  FROM p)
+SELECT a_key, b_key,
+  (CASE WHEN seg_in_open THEN '1' WHEN p_in THEN '0' ELSE 'F' END)
+  || (CASE WHEN seg_on_edge THEN '1' WHEN seg_touch_b OR p_on THEN '0' ELSE 'F' END)
+  || (CASE WHEN seg_out THEN '1' WHEN p_out THEN '0' ELSE 'F' END)
+  || (CASE WHEN (e1_active AND e1_in) OR (e2_active AND e2_in) THEN '0' ELSE 'F' END)
+  || (CASE WHEN (e1_active AND e1_on) OR (e2_active AND e2_on) THEN '0' ELSE 'F' END)
+  || (CASE WHEN (e1_active AND e1_out) OR (e2_active AND e2_out) THEN '0' ELSE 'F' END)
+  || '2' || '1' || '2' AS de9im
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # type inspection / endpoints / thinness / precision
 # ---------------------------------------------------------------------------
 
