@@ -546,6 +546,112 @@ _SQLITE_TYPES = {
 }
 
 
+RTREE_EXT_URL = "http://www.geopackage.org/spec120/#extension_rtree"
+
+
+def _register_st_functions(con: sqlite3.Connection):
+    """Register the GeoPackage ST_* helper functions on `con` so the
+    spec's rtree-maintenance triggers can fire on this connection
+    (reference register-gpkg-functions!, gpkg.clj:116-129: the
+    triggers call ST_MinX/MaxX/MinY/MaxY/ST_IsEmpty on geometry
+    blobs, which plain SQLite lacks).  NULL blob → NULL envelope /
+    IsEmpty 1, matching the reference."""
+
+    def _env(blob):
+        g, _srid = gpb.decode(bytes(blob))
+        return g.envelope()  # None when empty
+
+    def st_is_empty(b):
+        if b is None:
+            return 1
+        g, _srid = gpb.decode(bytes(b))
+        return 1 if g.is_empty() else 0
+
+    def mk(i):
+        def f(b):
+            if b is None:
+                return None
+            e = _env(b)
+            return None if e is None else float(e[i])
+
+        return f
+
+    con.create_function("ST_IsEmpty", 1, st_is_empty, deterministic=True)
+    for name, i in (("ST_MinX", 0), ("ST_MinY", 1), ("ST_MaxX", 2), ("ST_MaxY", 3)):
+        con.create_function(name, 1, mk(i), deterministic=True)
+
+
+def _rtree_trigger_sqls(table: str, geom_col: str, rtree: str, pk: str = "fid"):
+    """The six rtree-maintenance triggers from the GeoPackage spec
+    (reference rtree-trigger-sqls, gpkg.clj:831-861)."""
+    t, g, r, k = (f'"{x}"' for x in (table, geom_col, rtree, pk))
+    tn = lambda suf: f'"{rtree}{suf}"'
+    ins = (
+        f"NEW.{k}, ST_MinX(NEW.{g}), ST_MaxX(NEW.{g}), "
+        f"ST_MinY(NEW.{g}), ST_MaxY(NEW.{g})"
+    )
+    return [
+        f"CREATE TRIGGER IF NOT EXISTS {tn('_insert')} AFTER INSERT ON {t} "
+        f"WHEN (NEW.{g} NOT NULL AND NOT ST_IsEmpty(NEW.{g})) "
+        f"BEGIN INSERT OR REPLACE INTO {r} VALUES ({ins}); END",
+        f"CREATE TRIGGER IF NOT EXISTS {tn('_update1')} AFTER UPDATE OF {g} ON {t} "
+        f"WHEN OLD.{k} = NEW.{k} AND (NEW.{g} NOTNULL AND NOT ST_IsEmpty(NEW.{g})) "
+        f"BEGIN INSERT OR REPLACE INTO {r} VALUES ({ins}); END",
+        f"CREATE TRIGGER IF NOT EXISTS {tn('_update2')} AFTER UPDATE OF {g} ON {t} "
+        f"WHEN OLD.{k} = NEW.{k} AND (NEW.{g} ISNULL OR ST_IsEmpty(NEW.{g})) "
+        f"BEGIN DELETE FROM {r} WHERE id = OLD.{k}; END",
+        f"CREATE TRIGGER IF NOT EXISTS {tn('_update3')} AFTER UPDATE ON {t} "
+        f"WHEN OLD.{k} != NEW.{k} AND (NEW.{g} NOTNULL AND NOT ST_IsEmpty(NEW.{g})) "
+        f"BEGIN DELETE FROM {r} WHERE id = OLD.{k}; "
+        f"INSERT OR REPLACE INTO {r} VALUES ({ins}); END",
+        f"CREATE TRIGGER IF NOT EXISTS {tn('_update4')} AFTER UPDATE ON {t} "
+        f"WHEN OLD.{k} != NEW.{k} AND (NEW.{g} ISNULL OR ST_IsEmpty(NEW.{g})) "
+        f"BEGIN DELETE FROM {r} WHERE id IN (OLD.{k}, NEW.{k}); END",
+        f"CREATE TRIGGER IF NOT EXISTS {tn('_delete')} AFTER DELETE ON {t} "
+        f"WHEN OLD.{g} NOT NULL BEGIN DELETE FROM {r} WHERE id = OLD.{k}; END",
+    ]
+
+
+def _ensure_extensions_table(con: sqlite3.Connection):
+    con.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_extensions (
+             table_name TEXT, column_name TEXT, extension_name TEXT NOT NULL,
+             definition TEXT NOT NULL, scope TEXT NOT NULL,
+             CONSTRAINT ge_tce UNIQUE (table_name, column_name, extension_name))"""
+    )
+
+
+def _create_spatial_index_structures(con: sqlite3.Connection, table: str, geom_col: str):
+    """rtree virtual table + gpkg_extensions row + the six spec
+    triggers (reference create-spatial-index!, gpkg.clj:863-876).
+    Bulk POPULATION is the caller's job — the sink fills the rtree
+    from envelopes already computed on executors instead of letting
+    the triggers decode every blob through the python ST functions."""
+    rtree = f"rtree_{table}_{geom_col}"
+    con.execute(
+        f'CREATE VIRTUAL TABLE IF NOT EXISTS "{rtree}" '
+        'USING rtree("id", "minx", "maxx", "miny", "maxy")'
+    )
+    _ensure_extensions_table(con)
+    con.execute(
+        "INSERT OR IGNORE INTO gpkg_extensions VALUES (?,?,?,?,?)",
+        (table, geom_col, "gpkg_rtree_index", RTREE_EXT_URL, "write-only"),
+    )
+    for sql in _rtree_trigger_sqls(table, geom_col, rtree):
+        con.execute(sql)
+
+
+def _next_fid_base(con: sqlite3.Connection, table: str) -> int:
+    """The fid the NEXT inserted row will follow: the AUTOINCREMENT
+    sequence when present (deletes can leave seq > max(rowid)), else
+    max(rowid)."""
+    seq = con.execute(
+        "SELECT seq FROM sqlite_sequence WHERE name = ?", (table,)
+    ).fetchone() if _has_table(con, "sqlite_sequence") else None
+    mx = con.execute(f'SELECT COALESCE(MAX(rowid), 0) FROM "{table}"').fetchone()[0]
+    return max(seq[0] if seq else 0, mx)
+
+
 def _sink_conversions(fields):
     """Column groups needing value conversion before a SQLite bind —
     the same conversions the legacy driver loop applied per value
@@ -599,7 +705,7 @@ def _convert_batch(pdf, spatial, geom_col, srid, attr_names, ts_names, date_name
     return cols, ext, env_rows
 
 
-def _sink_parts_df(df, geom_col: Optional[str], srid: int, fields, tmpdir: str, batch_size: int):
+def _sink_parts_df(df, geom_col: Optional[str], srid: int, fields, tmpdir: str, batch_size: int, with_envelope: bool = False):
     """Distributed GeoPackage sink, stage 1: every task encodes its
     partition into its OWN temp SQLite part file (plain rowid table,
     insertion order preserved) and reports (pid, path, nrows, extent).
@@ -611,13 +717,18 @@ def _sink_parts_df(df, geom_col: Optional[str], srid: int, fields, tmpdir: str, 
     stream), which is the write-side mirror of the rowid-range
     distributed scan (this file, _read_table_distributed)."""
     spatial = geom_col is not None and geom_col in df.columns
+    with_envelope = with_envelope and spatial
     ts_names, date_names, bool_names = _sink_conversions(fields)
     attr_names = [f.name for f in fields]
     in_cols = ([geom_col] if spatial else []) + attr_names
     n_cols = len(in_cols)
-    part_cols = ", ".join(f'"c{i}"' for i in range(n_cols))
-    part_ddl = ", ".join(f'"c{i}" BLOB' if spatial and i == 0 else f'"c{i}"' for i in range(n_cols))
-    ins = f"INSERT INTO data ({part_cols}) VALUES ({','.join('?' * n_cols)})"
+    env_names = ["e0", "e1", "e2", "e3"] if with_envelope else []
+    all_names = [f"c{i}" for i in range(n_cols)] + env_names
+    part_cols = ", ".join(f'"{c}"' for c in all_names)
+    part_ddl = ", ".join(
+        ('"c0" BLOB' if spatial and c == "c0" else f'"{c}"') for c in all_names
+    )
+    ins = f"INSERT INTO data ({part_cols}) VALUES ({','.join('?' * len(all_names))})"
 
     def kernel(batches):
         import uuid
@@ -637,10 +748,14 @@ def _sink_parts_df(df, geom_col: Optional[str], srid: int, fields, tmpdir: str, 
                     con.execute("PRAGMA journal_mode = OFF")
                     con.execute("PRAGMA synchronous = OFF")
                     con.execute(f"CREATE TABLE data ({part_ddl})")
-                cols, ext, _env_rows = _convert_batch(
+                cols, ext, env_rows = _convert_batch(
                     pdf, spatial, geom_col, srid, attr_names,
                     ts_names, date_names, bool_names,
                 )
+                if with_envelope:
+                    # envelope ride-along so the driver can bulk-load
+                    # the rtree spatial index without re-decoding
+                    cols = cols + [[e[i] for e in env_rows] for i in range(4)]
                 con.executemany(ins, zip(*cols))
                 n += len(pdf)
                 if ext[0] < x0:
@@ -788,6 +903,10 @@ def write_gpkg(
     con = sqlite3.connect(path)
     con.execute("PRAGMA journal_mode = WAL")
     con.execute("PRAGMA synchronous = OFF")
+    if spatial:
+        # a pre-existing rtree index's triggers need these on THIS
+        # connection (reference gpkg.clj:75-129)
+        _register_st_functions(con)
     try:
         _bootstrap(con)
         _ensure_srs(con, srid)
@@ -835,11 +954,6 @@ def write_gpkg(
         ext = [math.inf, math.inf, -math.inf, -math.inf]
         batch: List[tuple] = []
 
-        def flush():
-            if batch:
-                con.executemany(ins, batch)
-                batch.clear()
-
         if sink_mode not in ("auto", "merge", "stream", "driver"):
             raise ValueError(f"sink_mode must be auto/merge/stream/driver, got {sink_mode!r}")
         mode = sink_mode
@@ -849,6 +963,42 @@ def write_gpkg(
             except Exception:
                 is_local = False
             mode = "merge" if is_local else "stream"
+
+        # rtree spatial index (reference create-spatial-index!,
+        # gpkg.clj:863-876).  A PRE-EXISTING index on the table means
+        # its triggers maintain it through our inserts (the ST_*
+        # functions are registered above); a NEW index is bulk-loaded
+        # from envelopes already computed during the encode — the
+        # triggers (which would decode every blob through the python
+        # ST functions) are only created afterwards, for future
+        # single-row writers.
+        rtree_name = f"rtree_{table}_{geom_col}" if spatial else None
+        pre_indexed = spatial and _has_table(con, rtree_name)
+        bulk_index = spatial and add_spatial_index and not pre_indexed
+        env_batch: List = []
+        if bulk_index and mode in ("stream", "driver"):
+            con.execute(
+                f'CREATE VIRTUAL TABLE IF NOT EXISTS "{rtree_name}" '
+                'USING rtree("id", "minx", "maxx", "miny", "maxy")'
+            )
+
+        def flush():
+            if batch:
+                base = _next_fid_base(con, table) if env_batch else None
+                con.executemany(ins, batch)
+                if env_batch:
+                    rt = [
+                        (base + 1 + i, e[0], e[2], e[1], e[3])
+                        for i, e in enumerate(env_batch)
+                        if e is not None and e[0] is not None
+                    ]
+                    if rt:
+                        con.executemany(
+                            f'INSERT OR REPLACE INTO "{rtree_name}" VALUES (?,?,?,?,?)',
+                            rt,
+                        )
+                    env_batch.clear()
+                batch.clear()
         if mode == "merge":
             import shutil
             import tempfile
@@ -857,7 +1007,8 @@ def write_gpkg(
             try:
                 parts = sorted(
                     _sink_parts_df(
-                        df, geom_col if spatial else None, srid, fields, tmpdir, batch_size
+                        df, geom_col if spatial else None, srid, fields, tmpdir,
+                        batch_size, with_envelope=bulk_index,
                     ).collect(),
                     key=lambda r: r.pid,
                 )
@@ -872,8 +1023,10 @@ def write_gpkg(
                 ).fetchone()[0]
                 sel_cols = ", ".join(f'"c{i}"' for i in range(len(col_names)))
                 ins_cols = ",".join(chr(34) + c + chr(34) for c in col_names)
+                part_bases = []
                 try:
                     for r in parts:
+                        part_bases.append((_next_fid_base(con, table), r.path))
                         con.execute("ATTACH ? AS __gpkg_part", (r.path,))
                         try:
                             con.execute(
@@ -906,6 +1059,27 @@ def write_gpkg(
                         drop_table_con(con, table)
                     con.commit()
                     raise
+                if bulk_index:
+                    # second pass over the retained part files: bulk-
+                    # load the rtree from the executor-computed
+                    # envelopes (fid = part base + part rowid, exact
+                    # because INSERT..SELECT ORDER BY rowid assigns
+                    # consecutive autoincrement ids), THEN install the
+                    # maintenance triggers for future writers.
+                    _create_spatial_index_structures(con, table, geom_col)
+                    con.commit()
+                    for base, ppath in part_bases:
+                        con.execute("ATTACH ? AS __gpkg_part", (ppath,))
+                        try:
+                            con.execute(
+                                f'INSERT OR REPLACE INTO "{rtree_name}" '
+                                f'SELECT ? + rowid, "e0", "e2", "e1", "e3" '
+                                f'FROM __gpkg_part.data WHERE "e0" IS NOT NULL',
+                                (base,),
+                            )
+                            con.commit()
+                        finally:
+                            con.execute("DETACH __gpkg_part")
             finally:
                 shutil.rmtree(tmpdir, ignore_errors=True)
         elif mode == "stream":
@@ -932,6 +1106,10 @@ def write_gpkg(
                             ext[2] = t[3]
                         if t[4] > ext[3]:
                             ext[3] = t[4]
+                    if bulk_index:
+                        env_batch.append(
+                            (t[1], t[2], t[3], t[4]) if x0 is not None else None
+                        )
                     t = t[:1] + t[5:]
                 batch.append(t)
                 if len(batch) >= batch_size:
@@ -942,6 +1120,7 @@ def write_gpkg(
             # rows directly / through the legacy driver-side loop
             for row in df.toLocalIterator():
                 vals = []
+                row_env = None
                 if spatial:
                     wkb = row[geom_col]
                     if wkb is None:
@@ -950,11 +1129,14 @@ def write_gpkg(
                         g = gc.from_wkb(bytes(wkb))
                         env = g.envelope()
                         if env:
+                            row_env = env
                             ext[0] = min(ext[0], env[0])
                             ext[1] = min(ext[1], env[1])
                             ext[2] = max(ext[2], env[2])
                             ext[3] = max(ext[3], env[3])
                         vals.append(gpb.encode(g, srid))
+                if bulk_index:
+                    env_batch.append(row_env)
                 for f in fields:
                     v = row[f.name]
                     if isinstance(v, (bytes, bytearray)):
@@ -968,6 +1150,11 @@ def write_gpkg(
                 if len(batch) >= batch_size:
                     flush()
         flush()
+        if bulk_index and mode in ("stream", "driver"):
+            # rtree rows are already bulk-loaded per flush; install
+            # the maintenance triggers + extension row for future
+            # single-row writers
+            _create_spatial_index_structures(con, table, geom_col)
         if spatial and ext[0] != math.inf:
             con.execute(
                 "UPDATE gpkg_contents SET min_x=?, min_y=?, max_x=?, max_y=? WHERE table_name=?",
@@ -1109,10 +1296,21 @@ def extensions(path: str) -> List[dict]:
 
 
 def drop_table_con(con: sqlite3.Connection, table: str):
-    """Drop a table + its metadata rows (gpkg.clj:879-898)."""
+    """Drop a table + its metadata rows + any rtree spatial index and
+    its six maintenance triggers (gpkg.clj:879-898, drop-table)."""
+    if _has_table(con, "gpkg_geometry_columns"):
+        for (gname,) in con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?", (table,)
+        ).fetchall():
+            rtree = f"rtree_{table}_{gname}"
+            for suf in ("_insert", "_update1", "_update2", "_update3", "_update4", "_delete"):
+                con.execute(f'DROP TRIGGER IF EXISTS "{rtree}{suf}"')
+            con.execute(f'DROP TABLE IF EXISTS "{rtree}"')
     con.execute(f'DROP TABLE IF EXISTS "{table}"')
     con.execute("DELETE FROM gpkg_contents WHERE table_name=?", (table,))
     con.execute("DELETE FROM gpkg_geometry_columns WHERE table_name=?", (table,))
+    if _has_table(con, "gpkg_extensions"):
+        con.execute("DELETE FROM gpkg_extensions WHERE table_name=?", (table,))
 
 
 def drop_table(path: str, table: str):
@@ -1166,6 +1364,9 @@ def amend_gpkg(
         except Exception:
             use_merge = False
     con = sqlite3.connect(path)
+    # an rtree-indexed geometry column's maintenance triggers call the
+    # ST_* functions on whatever connection mutates the table
+    _register_st_functions(con)
     try:
         cols_ddl = ", ".join(f'"{c}"' for c in [key] + set_cols)
         con.execute(

@@ -1,0 +1,154 @@
+"""GPKG rtree spatial-index extension (reference
+create-spatial-index! / register-gpkg-functions!, gpkg.clj:75-129,
+831-876): the six spec triggers, ST_* helper functions, bulk load
+from executor-computed envelopes, trigger maintenance, drop cleanup."""
+
+import sqlite3
+
+import numpy as np
+import pytest
+
+from geospark.io import gpkg, gpb
+from geospark.geom import core as gc
+
+
+def _pts_df(spark, n=400, parts=4, with_nulls=True):
+    rows = []
+    for i in range(n):
+        if with_nulls and i % 37 == 0:
+            geom = None
+        elif with_nulls and i % 41 == 0:
+            geom = gc.to_wkb(gc.from_wkt("POINT EMPTY"))
+        elif i % 3 == 0:
+            geom = gc.to_wkb(
+                gc.from_wkt(f"POLYGON (({i} 0, {i + 2} 0, {i + 2} 3, {i} 3, {i} 0))")
+            )
+        else:
+            geom = gc.to_wkb(gc.from_wkt(f"POINT ({i} {i * 2})"))
+        rows.append((geom, i))
+    return spark.createDataFrame(rows, "geom binary, i bigint").repartition(parts)
+
+
+def _rtree_rows(path, table="t", col="geom"):
+    con = sqlite3.connect(path)
+    try:
+        return con.execute(
+            f'SELECT id, minx, maxx, miny, maxy FROM "rtree_{table}_{col}" ORDER BY id'
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def _expected_rtree(path, table="t", col="geom"):
+    """Recompute from the stored GP blobs — the ground truth."""
+    con = sqlite3.connect(path)
+    try:
+        out = []
+        for fid, blob in con.execute(f'SELECT fid, "{col}" FROM "{table}" ORDER BY fid'):
+            if blob is None:
+                continue
+            g, _ = gpb.decode(bytes(blob))
+            env = g.envelope()
+            if env is None:
+                continue
+            out.append((fid, env[0], env[2], env[1], env[3]))
+        return out
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("mode", ["merge", "stream", "driver"])
+def test_rtree_bulk_load_matches_blobs(spark, tmp_path, mode):
+    p = str(tmp_path / f"rt_{mode}.gpkg")
+    gpkg.write_gpkg(_pts_df(spark), p, "t", srid=27700, sink_mode=mode,
+                    add_spatial_index=True)
+    got = _rtree_rows(p)
+    want = _expected_rtree(p)
+    assert len(got) == len(want) > 300
+    for (gi, gx0, gx1, gy0, gy1), (wi, wx0, wx1, wy0, wy1) in zip(got, want):
+        assert gi == wi
+        # the rtree virtual table stores float32-rounded bounds
+        # (outward-rounded by SQLite); compare with that tolerance
+        assert gx0 == pytest.approx(wx0, abs=1e-3)
+        assert gx1 == pytest.approx(wx1, abs=1e-3)
+        assert gy0 == pytest.approx(wy0, abs=1e-3)
+        assert gy1 == pytest.approx(wy1, abs=1e-3)
+    # extension registered write-only, like the reference
+    exts = {(e["table_name"], e["column_name"], e["extension_name"]): e
+            for e in gpkg.extensions(p)}
+    e = exts[("t", "geom", "gpkg_rtree_index")]
+    assert e["scope"] == "write-only"
+    # conformance validator still green
+    from geospark.io.gpkg_validate import validate
+
+    assert [f for f in validate(p) if f["status"] == "fail"] == []
+
+
+def test_rtree_triggers_maintain_index(spark, tmp_path):
+    p = str(tmp_path / "maint.gpkg")
+    gpkg.write_gpkg(_pts_df(spark, n=60), p, "t", srid=27700, add_spatial_index=True)
+    con = sqlite3.connect(p)
+    gpkg._register_st_functions(con)
+    # INSERT through the trigger path
+    blob = gpb.encode(gc.from_wkt("POINT (1000 2000)"), 27700)
+    cur = con.execute('INSERT INTO "t" (geom, i) VALUES (?, ?)', (blob, 999))
+    fid = cur.lastrowid
+    row = con.execute(
+        'SELECT minx, maxy FROM "rtree_t_geom" WHERE id = ?', (fid,)
+    ).fetchone()
+    assert row is not None and row[0] == pytest.approx(1000, abs=1e-3)
+    assert row[1] == pytest.approx(2000, abs=1e-3)
+    # UPDATE moves the box
+    blob2 = gpb.encode(gc.from_wkt("POINT (5 6)"), 27700)
+    con.execute('UPDATE "t" SET geom = ? WHERE fid = ?', (blob2, fid))
+    row = con.execute('SELECT minx FROM "rtree_t_geom" WHERE id = ?', (fid,)).fetchone()
+    assert row[0] == pytest.approx(5, abs=1e-3)
+    # UPDATE to NULL removes the entry
+    con.execute('UPDATE "t" SET geom = NULL WHERE fid = ?', (fid,))
+    assert con.execute(
+        'SELECT 1 FROM "rtree_t_geom" WHERE id = ?', (fid,)
+    ).fetchone() is None
+    # DELETE removes entries
+    con.execute('DELETE FROM "t" WHERE fid <= 5')
+    assert con.execute('SELECT count(*) FROM "rtree_t_geom" WHERE id <= 5').fetchone()[0] == 0
+    con.commit()
+    con.close()
+
+
+def test_rtree_append_to_indexed_table(spark, tmp_path):
+    """Appending to an already-indexed table routes through the
+    maintenance triggers (ST functions registered on the sink
+    connection) and keeps the index complete."""
+    p = str(tmp_path / "app.gpkg")
+    df = _pts_df(spark, n=80, with_nulls=False)
+    gpkg.write_gpkg(df, p, "t", srid=27700, add_spatial_index=True)
+    gpkg.write_gpkg(df, p, "t", srid=27700, if_exists="append")
+    got = _rtree_rows(p)
+    want = _expected_rtree(p)
+    assert len(got) == len(want) == 160
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_rtree_amend_maintains_index(spark, tmp_path):
+    p = str(tmp_path / "amend.gpkg")
+    gpkg.write_gpkg(_pts_df(spark, n=40, with_nulls=False), p, "t", srid=27700,
+                    add_spatial_index=True)
+    import pandas as pd
+
+    blob = gpb.encode(gc.from_wkt("POINT (777 888)"), 27700)
+    gpkg.amend_gpkg(pd.DataFrame({"rowid": [3], "geom": [blob]}), p, "t")
+    con = sqlite3.connect(p)
+    row = con.execute('SELECT minx, miny FROM "rtree_t_geom" WHERE id = 3').fetchone()
+    con.close()
+    assert row[0] == pytest.approx(777, abs=1e-2) and row[1] == pytest.approx(888, abs=1e-2)
+
+
+def test_drop_table_removes_rtree(spark, tmp_path):
+    p = str(tmp_path / "drop.gpkg")
+    gpkg.write_gpkg(_pts_df(spark, n=30), p, "t", srid=27700, add_spatial_index=True)
+    gpkg.drop_table(p, "t")
+    con = sqlite3.connect(p)
+    names = {r[0] for r in con.execute("SELECT name FROM sqlite_master")}
+    con.close()
+    assert not any(n.startswith("rtree_t_geom") for n in names)
+    assert all(e["table_name"] != "t" for e in gpkg.extensions(p))
