@@ -199,7 +199,9 @@ class _LinealClasses:
         self.bnd: set = set()     # locations of mod-2 boundary points
 
 
-def _classify_lineal(L_lw, G: Geometry, G_lw, g_dim: int, L_pts=(), G_pts=()) -> _LinealClasses:
+def _classify_lineal(
+    L_lw, G: Geometry, G_lw, g_dim: int, L_pts=(), G_pts=(), L_bnd=None, G_bnd=None
+) -> _LinealClasses:
     """EXACT location classes of a lineal geometry's interior pieces,
     interior nodes, and boundary points against G.
 
@@ -217,8 +219,13 @@ def _classify_lineal(L_lw, G: Geometry, G_lw, g_dim: int, L_pts=(), G_pts=()) ->
     out = _LinealClasses()
     l_pt_set = set(L_pts)
     g_pt_set = set(G_pts)
-    bnd_pts = _mod2_boundary_points(L_lw) - l_pt_set
-    g_bnd_pts = (_mod2_boundary_points(G_lw) - g_pt_set) if g_dim == 1 else set()
+    # callers that already computed the mod-2 sets pass them in
+    # (L_bnd/G_bnd) so a relate doesn't recompute each up to 3 times
+    bnd_pts = (_mod2_boundary_points(L_lw) - l_pt_set) if L_bnd is None else L_bnd
+    if g_dim == 1:
+        g_bnd_pts = (_mod2_boundary_points(G_lw) - g_pt_set) if G_bnd is None else G_bnd
+    else:
+        g_bnd_pts = set()
     for c in L_lw:
         for i in range(len(c) - 1):
             p1, p2 = c[i], c[i + 1]
@@ -308,8 +315,16 @@ def _relate_low_low(a: Geometry, b: Geometry) -> str:
     pa_set, pb_set = set(pa), set(pb)
     mod2a = _mod2_boundary_points(la) - pa_set
     mod2b = _mod2_boundary_points(lb) - pb_set
-    ca = _classify_lineal(la, b, lb, 1, L_pts=pa_set, G_pts=pb_set) if la else _LinealClasses()
-    cb = _classify_lineal(lb, a, la, 1, L_pts=pb_set, G_pts=pa_set) if lb else _LinealClasses()
+    ca = (
+        _classify_lineal(la, b, lb, 1, L_pts=pa_set, G_pts=pb_set, L_bnd=mod2a, G_bnd=mod2b)
+        if la
+        else _LinealClasses()
+    )
+    cb = (
+        _classify_lineal(lb, a, la, 1, L_pts=pb_set, G_pts=pa_set, L_bnd=mod2b, G_bnd=mod2a)
+        if lb
+        else _LinealClasses()
+    )
     # point elements are 0-dim interior witnesses of their own side
     a_pt_locs = {_locate_low(x, y, pb_set, lb, mod2b) for (x, y) in pa_set}
     b_pt_locs = {_locate_low(x, y, pa_set, la, mod2a) for (x, y) in pb_set}

@@ -317,7 +317,10 @@ def read_geojson_spark(spark, path: str, features_per_part: int = 100_000, tmp_d
             # from remote executors — driver-side parse is the safe
             # fallback (pass tmp_dir= on a shared mount to distribute)
             return geojson_df(spark, path)
-        cache_key = (os.path.abspath(path), os.path.getmtime(path), features_per_part)
+        # tmp_dir is part of the key: a shared-mount staging must not
+        # reuse parts staged under a driver-local tempdir (and vice
+        # versa)
+        cache_key = (os.path.abspath(path), os.path.getmtime(path), features_per_part, tmp_dir)
         cached = _STAGED_DIRS.get(cache_key)
         if cached is not None and os.path.isdir(cached[0]):
             _STAGED_DIRS.move_to_end(cache_key)

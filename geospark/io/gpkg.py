@@ -303,7 +303,12 @@ def _coerce_storage_classes(pdf, fields, table):
                     "INTEGER-declared column; read with distributed=False"
                 )
 
-            pdf[name] = col.map(fix_int)
+            # explicit object dtype: Series.map would re-infer an
+            # int+None result to float64 and round >2^53 values —
+            # the very corruption this function exists to stop
+            pdf[name] = pd.Series(
+                [fix_int(v) for v in col], index=col.index, dtype=object
+            )
         elif t == "double":
             if col.dtype.kind == "f":
                 continue
@@ -388,7 +393,28 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
             f'SELECT {sel} FROM "{table}" WHERE rowid >= ? AND rowid <= ?', (lo, hi)
         )
         names = [d[0] for d in rows.description]
-        pdf = pd.DataFrame(rows.fetchall(), columns=names)
+        data = rows.fetchall()
+        # build INTEGER-declared columns with object dtype: the plain
+        # DataFrame constructor promotes int64+NULL to float64, which
+        # silently rounds values > 2^53 BEFORE the storage-class
+        # coercion below could notice
+        int_decl = {n for n, t in fields if t == "bigint"} - {"rowid", "srid"}
+        if rowids:
+            int_decl.add("__gpkg_rowid")
+        if data:
+            arrays = list(zip(*data))
+
+            def col_for(i, nm):
+                vals = arrays[i]
+                if nm in int_decl and any(
+                    v is None or type(v) is float for v in vals
+                ):
+                    return pd.Series(vals, dtype=object)
+                return pd.Series(vals)
+
+            pdf = pd.DataFrame({nm: col_for(i, nm) for i, nm in enumerate(names)})
+        else:
+            pdf = pd.DataFrame(columns=names)
         if rowids:
             pdf = pdf.rename(columns={"__gpkg_rowid": "rowid"})
         if gcol is not None and gcol[0] in pdf.columns:
@@ -663,6 +689,33 @@ def _sink_conversions(fields):
     return ts, dt, bl
 
 
+def _nullable_int_names(fields):
+    return {
+        f.name
+        for f in fields
+        if f.nullable and f.dataType.typeName() in ("long", "integer", "short")
+    }
+
+
+def _sink_select_exprs(spatial, geom_col, fields):
+    """Input projection for the executor-side sink kernels.  NULLABLE
+    INTEGRAL columns ship as digit STRINGS through the Arrow boundary:
+    Spark's Arrow→pandas conversion turns an int64 batch that contains
+    a null into float64, silently rounding values beyond 2^53 — the
+    digit string survives exactly, and SQLite's INTEGER column
+    affinity converts it back to the exact integer on insert."""
+    from pyspark.sql import functions as F
+
+    exprs = [F.col(geom_col)] if spatial else []
+    nn = _nullable_int_names(fields)
+    for f in fields:
+        if f.name in nn:
+            exprs.append(F.col(f.name).cast("string").alias(f.name))
+        else:
+            exprs.append(F.col(f.name))
+    return exprs
+
+
 def _convert_batch(pdf, spatial, geom_col, srid, attr_names, ts_names, date_names, bool_names):
     """One Arrow batch → (columns in INSERT order, batch extent).
 
@@ -782,7 +835,7 @@ def _sink_parts_df(df, geom_col: Optional[str], srid: int, fields, tmpdir: str, 
                 }
             )
 
-    return df.select(*in_cols).mapInPandas(
+    return df.select(*_sink_select_exprs(spatial, geom_col, fields)).mapInPandas(
         kernel,
         schema="pid int, path string, nrows bigint, "
         "xmin double, ymin double, xmax double, ymax double",
@@ -823,8 +876,9 @@ def _sink_encode_plan(df, geom_col: Optional[str], srid: int, fields):
             "`__gpb` binary", "`__xmin` double", "`__ymin` double",
             "`__xmax` double", "`__ymax` double",
         ]
+    nn = _nullable_int_names(fields)
     for f in fields:
-        if f.name in ts_names or f.name in date_names:
+        if f.name in ts_names or f.name in date_names or f.name in nn:
             t = "string"
         elif f.name in bool_names:
             t = "bigint"
@@ -848,7 +902,10 @@ def _sink_encode_plan(df, geom_col: Optional[str], srid: int, fields):
                 out[n] = col if isinstance(col, pd.Series) else pd.Series(col, dtype=object)
             yield pd.DataFrame(out)
 
-    return df.select(*in_cols).mapInPandas(kernel, schema=out_schema), (5 if spatial else 0)
+    return (
+        df.select(*_sink_select_exprs(spatial, geom_col, fields)).mapInPandas(kernel, schema=out_schema),
+        (5 if spatial else 0),
+    )
 
 
 def write_gpkg(
@@ -1021,6 +1078,17 @@ def write_gpkg(
                 start_max = con.execute(
                     f'SELECT COALESCE(MAX(rowid), 0) FROM "{table}"'
                 ).fetchone()[0]
+                # pre-merge AUTOINCREMENT high-water mark, for the
+                # failure restore below: resetting to MAX(rowid) would
+                # re-enable fid reuse after deletes, and a foreign
+                # GPKG without any AUTOINCREMENT table has no
+                # sqlite_sequence at all
+                start_seq = None
+                if _has_table(con, "sqlite_sequence"):
+                    row = con.execute(
+                        "SELECT seq FROM sqlite_sequence WHERE name = ?", (table,)
+                    ).fetchone()
+                    start_seq = row[0] if row else None
                 sel_cols = ", ".join(f'"c{i}"' for i in range(len(col_names)))
                 ins_cols = ",".join(chr(34) + c + chr(34) for c in col_names)
                 part_bases = []
@@ -1051,10 +1119,17 @@ def write_gpkg(
                         con.execute(
                             f'DELETE FROM "{table}" WHERE rowid > ?', (start_max,)
                         )
-                        con.execute(
-                            "UPDATE sqlite_sequence SET seq = ? WHERE name = ?",
-                            (start_max, table),
-                        )
+                        if _has_table(con, "sqlite_sequence"):
+                            if start_seq is not None:
+                                con.execute(
+                                    "UPDATE sqlite_sequence SET seq = ? WHERE name = ?",
+                                    (start_seq, table),
+                                )
+                            else:
+                                con.execute(
+                                    "DELETE FROM sqlite_sequence WHERE name = ?",
+                                    (table,),
+                                )
                     else:
                         drop_table_con(con, table)
                     con.commit()
@@ -1168,12 +1243,7 @@ def write_gpkg(
 def _ensure_schema_ext(con: sqlite3.Connection):
     """gpkg_schema extension tables (column metadata + constraints;
     reference gpkg.clj:964-1007)."""
-    con.execute(
-        """CREATE TABLE IF NOT EXISTS gpkg_extensions (
-             table_name TEXT, column_name TEXT, extension_name TEXT NOT NULL,
-             definition TEXT NOT NULL, scope TEXT NOT NULL,
-             CONSTRAINT ge_tce UNIQUE (table_name, column_name, extension_name))"""
-    )
+    _ensure_extensions_table(con)
     con.execute(
         """CREATE TABLE IF NOT EXISTS gpkg_data_columns (
              table_name TEXT NOT NULL, column_name TEXT NOT NULL,

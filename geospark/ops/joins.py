@@ -205,12 +205,13 @@ def pip_join(
     # (2M of 256M rows; the probe scan, not the socket, dominates).
     # Net positive only when the candidate fraction is high, so it is
     # opt-in rather than default.
-    build = polys.select(
-        F.col(poly_id).alias("__pid"),
-        F.col(poly_geom).alias("__pwkb"),
-        F.explode(cover_cells(level, grid)(F.col(poly_geom))).alias("__cell"),
-    )
-    if bbox_prefilter:
+    if not bbox_prefilter:
+        build = polys.select(
+            F.col(poly_id).alias("__pid"),
+            F.col(poly_geom).alias("__pwkb"),
+            F.explode(cover_cells(level, grid)(F.col(poly_geom))).alias("__cell"),
+        )
+    else:
         from ..functions import st_envelope
 
         build = (

@@ -194,3 +194,116 @@ def test_merge_throughput_and_flat_rss(spark):
         for p in (p1, p2):
             if os.path.exists(p):
                 os.unlink(p)
+
+
+def test_sink_bigint_beyond_2_53_with_nulls_exact(spark, tmp_path):
+    """Code-review r5: Spark's Arrow→pandas conversion turns an int64
+    batch containing a null into float64, silently rounding values
+    beyond 2^53.  Nullable integral columns must survive the sink
+    exactly in every mode (they ship as digit strings; SQLite INTEGER
+    affinity converts back)."""
+    big1, big2 = 2**60 + 1, 2**53 + 1
+    rows = [
+        (gc.to_wkb(gc.from_wkt("POINT (1 2)")), big1),
+        (gc.to_wkb(gc.from_wkt("POINT (3 4)")), None),
+        (gc.to_wkb(gc.from_wkt("POINT (5 6)")), big2),
+        (None, -(2**60) - 7),
+    ]
+    df = spark.createDataFrame(rows, "geom binary, v long").coalesce(2)
+    for mode in ("merge", "stream", "driver"):
+        p = str(tmp_path / f"big_{mode}.gpkg")
+        gpkg.write_gpkg(df, p, "t", srid=27700, sink_mode=mode)
+        con = sqlite3.connect(p)
+        vals = [r[0] for r in con.execute('SELECT v FROM "t" ORDER BY fid')]
+        types = {r[0] for r in con.execute('SELECT typeof(v) FROM "t" WHERE v IS NOT NULL')}
+        con.close()
+        assert vals == [big1, None, big2, -(2**60) - 7], mode
+        assert types == {"integer"}, mode
+    # and an attribute-only table through the merge part files
+    attrs = spark.createDataFrame([(big1,), (None,)], "v long")
+    p = str(tmp_path / "big_attr.gpkg")
+    gpkg.write_gpkg(attrs, p, "at", geom_col=None, sink_mode="merge")
+    con = sqlite3.connect(p)
+    assert [r[0] for r in con.execute('SELECT v FROM "at" ORDER BY fid')] == [big1, None]
+    con.close()
+
+
+def test_merge_failure_restore_foreign_table_without_autoincrement(spark, tmp_path, monkeypatch):
+    """Code-review r5: a GPKG written by another tool can lack
+    sqlite_sequence entirely (plain INTEGER PRIMARY KEY); the merge
+    failure restore must not die on UPDATE sqlite_sequence and must
+    leave the pre-merge rows intact."""
+    p = str(tmp_path / "foreign.gpkg")
+    con = sqlite3.connect(p)
+    gpkg._bootstrap(con)
+    con.execute("CREATE TABLE t (fid INTEGER PRIMARY KEY, v INTEGER)")
+    con.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier) VALUES ('t','attributes','t')"
+    )
+    con.executemany("INSERT INTO t (fid, v) VALUES (?, ?)", [(1, 10), (2, 20)])
+    con.commit()
+    con.close()
+
+    df = spark.createDataFrame([(30,), (40,)], "v long").coalesce(1)
+    real = gpkg._sink_parts_df
+
+    def sabotaged(df_, geom_col, srid, fields, tmpdir, batch_size, with_envelope=False):
+        rows = real(df_, geom_col, srid, fields, tmpdir, batch_size, with_envelope).collect()
+        bogus = types.SimpleNamespace(
+            pid=10_000, path=os.path.join(tmpdir, "missing.db"), nrows=1,
+            xmin=None, ymin=None, xmax=None, ymax=None,
+        )
+        return types.SimpleNamespace(collect=lambda: list(rows) + [bogus])
+
+    monkeypatch.setattr(gpkg, "_sink_parts_df", sabotaged)
+    with pytest.raises(Exception) as ei:
+        gpkg.write_gpkg(df, p, "t", geom_col=None, if_exists="append", sink_mode="merge")
+    assert "sqlite_sequence" not in str(ei.value)
+    monkeypatch.undo()
+    con = sqlite3.connect(p)
+    assert con.execute('SELECT fid, v FROM "t" ORDER BY fid').fetchall() == [(1, 10), (2, 20)]
+    con.close()
+
+
+def test_merge_failure_restore_preserves_autoincrement_highwater(spark, tmp_path, monkeypatch):
+    """Code-review r5: the restore must reset the AUTOINCREMENT seq to
+    its PRE-MERGE value, not MAX(rowid) — after deletes those differ,
+    and resetting lower would re-issue previously-used fids."""
+    from geospark.functions import st_point
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "seq.gpkg")
+    df = (
+        spark.range(10)
+        .select(st_point(F.col("id") * 1.0, F.col("id") * 1.0).alias("geom"))
+        .coalesce(1)
+    )
+    gpkg.write_gpkg(df, p, "t", srid=27700)
+    con = sqlite3.connect(p)
+    con.execute('DELETE FROM "t" WHERE fid > 5')  # seq stays 10
+    con.commit()
+    con.close()
+
+    real = gpkg._sink_parts_df
+
+    def sabotaged(df_, geom_col, srid, fields, tmpdir, batch_size, with_envelope=False):
+        rows = real(df_, geom_col, srid, fields, tmpdir, batch_size, with_envelope).collect()
+        bogus = types.SimpleNamespace(
+            pid=10_000, path=os.path.join(tmpdir, "missing.db"), nrows=1,
+            xmin=None, ymin=None, xmax=None, ymax=None,
+        )
+        return types.SimpleNamespace(collect=lambda: list(rows) + [bogus])
+
+    monkeypatch.setattr(gpkg, "_sink_parts_df", sabotaged)
+    with pytest.raises(Exception):
+        gpkg.write_gpkg(df, p, "t", srid=27700, if_exists="append", sink_mode="merge")
+    monkeypatch.undo()
+    con = sqlite3.connect(p)
+    seq = con.execute("SELECT seq FROM sqlite_sequence WHERE name='t'").fetchone()[0]
+    con.close()
+    assert seq == 10  # not reset to MAX(rowid)=5
+    # a clean append mints fresh fids above the high-water mark
+    gpkg.write_gpkg(df.limit(1), p, "t", srid=27700, if_exists="append")
+    con = sqlite3.connect(p)
+    assert con.execute('SELECT MAX(fid) FROM "t"').fetchone()[0] == 11
+    con.close()

@@ -360,3 +360,29 @@ def test_gpkg_scan_affinity_mismatch(spark, tmp_path):
     con.close()
     with pytest.raises(Exception, match="INTEGER-declared"):
         gpkg.read_gpkg(spark, p, "t").toPandas()
+
+
+def test_gpkg_scan_bigint_beyond_2_53_with_nulls(spark, tmp_path):
+    """Code-review r5: int64+NULL in one range promoted the pandas
+    column to float64 BEFORE the storage-class coercion, silently
+    rounding values beyond 2^53.  The distributed scan must return
+    them exactly."""
+    import sqlite3
+
+    from geospark.io import gpkg
+
+    big = 2**53 + 1
+    p = str(tmp_path / "big.gpkg")
+    con = sqlite3.connect(p)
+    gpkg._bootstrap(con)
+    con.execute("CREATE TABLE t (fid INTEGER PRIMARY KEY, v INTEGER)")
+    con.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier) VALUES ('t','attributes','t')"
+    )
+    con.executemany("INSERT INTO t (v) VALUES (?)", [(big,), (None,), (2**60 + 3,)])
+    con.commit()
+    con.close()
+    got = sorted(
+        r["v"] for r in gpkg.read_gpkg(spark, p, "t").collect() if r["v"] is not None
+    )
+    assert got == [big, 2**60 + 3]
