@@ -342,11 +342,22 @@ def _coerce_storage_classes(pdf, fields, table):
                 )
 
 
-def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, rows_per_partition):
+def _read_table_distributed(
+    spark, path, table, to_srid, columns, rowids, plan, rows_per_partition, bbox=None
+):
     """Rowid-range-partitioned scan: each task opens the SQLite file
     read-only+immutable (the reference's concurrent-reader discipline,
     gpkg.clj:144-147) and reads only its range — driver memory is
-    O(#ranges), never the table."""
+    O(#ranges), never the table.
+
+    bbox = (xmin, ymin, xmax, ymax) in the FILE's native CRS
+    (engine-added; the reference's open has no windowed read): rows
+    whose geometry envelope intersects it.  With an rtree spatial
+    index present the candidate set comes from an index join INSIDE
+    each task's SQL — non-candidates are never fetched or decoded —
+    followed by an exact envelope refine (the rtree stores
+    outward-rounded float32 bounds).  Without an index every row in
+    the range decodes its envelope for the filter."""
     from pyspark.sql import functions as F
 
     fields = plan["fields"]
@@ -356,6 +367,15 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
     ranges = _rowid_ranges(path, table, rows_per_partition)
     if not ranges:
         return spark.createDataFrame([], schema_ddl)
+    rtree_for_bbox = None
+    if bbox is not None and gcol is not None:
+        rt = f"rtree_{table}_{gcol[0]}"
+        con0 = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            if _has_table(con0, rt):
+                rtree_for_bbox = rt
+        finally:
+            con0.close()
     # exactly ONE range per partition: repartition(n) hash-shuffles a
     # small local relation UNEVENLY (measured 5 ranges landing in one
     # partition → a 5× critical path); parallelize with n slices is
@@ -388,10 +408,25 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
         # explicit alias: bare `SELECT rowid, ...` would NAME the
         # rowid column after the integer pk it aliases (`fid`),
         # colliding with the pk column read via the select list
-        sel = f'rowid AS "__gpkg_rowid", {sel_cols}' if rowids else sel_cols
-        rows = con.execute(
-            f'SELECT {sel} FROM "{table}" WHERE rowid >= ? AND rowid <= ?', (lo, hi)
-        )
+        if rtree_for_bbox is not None:
+            # rtree candidate join: non-candidates never leave SQLite
+            qsel = (
+                ", ".join(f'"{table}"."{c}"' for c in src_cols) if src_cols else "NULL"
+            )
+            sel = (f'"{table}".rowid AS "__gpkg_rowid", ' + qsel) if rowids else qsel
+            rows = con.execute(
+                f'SELECT {sel} FROM "{table}" JOIN "{rtree_for_bbox}" __rt '
+                f'ON "{table}".rowid = __rt.id '
+                f'WHERE "{table}".rowid >= ? AND "{table}".rowid <= ? '
+                f"AND __rt.maxx >= ? AND __rt.minx <= ? "
+                f"AND __rt.maxy >= ? AND __rt.miny <= ?",
+                (lo, hi, bbox[0], bbox[2], bbox[1], bbox[3]),
+            )
+        else:
+            sel = f'rowid AS "__gpkg_rowid", {sel_cols}' if rowids else sel_cols
+            rows = con.execute(
+                f'SELECT {sel} FROM "{table}" WHERE rowid >= ? AND rowid <= ?', (lo, hi)
+            )
         names = [d[0] for d in rows.description]
         data = rows.fetchall()
         # build INTEGER-declared columns with object dtype: the plain
@@ -420,6 +455,17 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
         if gcol is not None and gcol[0] in pdf.columns:
             col, _tname, srid = gcol
             geoms = []
+            keep = [] if bbox is not None else None
+
+            def _bbox_hit(env):
+                return (
+                    env is not None
+                    and env[0] <= bbox[2]
+                    and env[2] >= bbox[0]
+                    and env[1] <= bbox[3]
+                    and env[3] >= bbox[1]
+                )
+
             if to_srid is None:
                 # no reprojection → the blob's payload IS the WKB the
                 # engine wants: strip the GP header instead of the
@@ -435,6 +481,8 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
                 for b in pdf[col]:
                     if b is None:
                         geoms.append(None)
+                        if keep is not None:
+                            keep.append(False)
                         continue
                     b = bytes(b)
                     off = payload_offset(b)
@@ -443,21 +491,41 @@ def _read_table_distributed(spark, path, table, to_srid, columns, rowids, plan, 
                             f"GP blob payload is not WKB (first byte "
                             f"{b[off:off + 1]!r})"
                         )
-                    geoms.append(b[off:])
+                    payload = b[off:]
+                    if keep is not None:
+                        # exact refine (the rtree candidates carry
+                        # outward-rounded float32 bounds)
+                        keep.append(_bbox_hit(gc.from_wkb(payload).envelope()))
+                    geoms.append(payload)
             else:
                 for b in pdf[col]:
                     if b is None:
                         geoms.append(None)
+                        if keep is not None:
+                            keep.append(False)
                         continue
                     g, g_srid = gpb.decode(bytes(b))
+                    if keep is not None:
+                        # bbox is in the FILE's native CRS: test the
+                        # envelope BEFORE reprojection, and skip the
+                        # transform for dropped rows
+                        hit = _bbox_hit(g.envelope())
+                        keep.append(hit)
+                        if not hit:
+                            geoms.append(None)
+                            continue
                     if g_srid != to_srid:
                         from ..crs.osgb import reproject
 
                         g = reproject(g, g_srid, to_srid)
                     geoms.append(gc.to_wkb(g))
-            pdf[col] = geoms
+            pdf[col] = pd.Series(geoms, index=pdf.index, dtype=object)
             pdf = pdf.rename(columns={col: "geom"})
             pdf["srid"] = to_srid if to_srid is not None else srid
+            if keep is not None:
+                pdf = pdf.loc[np.asarray(keep, dtype=bool)]
+        elif bbox is not None:
+            raise ValueError(f"bbox read requested but table {table!r} has no geometry column")
         pdf["table"] = table
         _coerce_storage_classes(pdf, fields, table)
         return pdf.reindex(columns=out_names)
@@ -474,10 +542,18 @@ def read_gpkg(
     rowids: bool = False,
     rows_per_partition: int = 250_000,
     distributed: Optional[bool] = None,
+    bbox: Optional[Tuple[float, float, float, float]] = None,
 ):
     """GeoPackage → DataFrame.  Geometry column becomes plain WKB
     `geom` + `srid` int; multiple tables chain (UNION) like the
     reference's chained iterators when table is None.
+
+    bbox = (xmin, ymin, xmax, ymax) in the file's native CRS
+    (engine-added windowed read; the reference's open always scans
+    whole tables): only rows whose geometry envelope intersects the
+    box.  A gpkg_rtree_index on the table turns this into an index
+    candidate join inside each scan task (+ exact envelope refine);
+    without one, every row in range decodes its envelope.
 
     The scan is DISTRIBUTED: the driver reads only per-table schema
     metadata and ~n/rows_per_partition rowid range boundaries; each
@@ -506,13 +582,14 @@ def read_gpkg(
     for t in tables:
         plan = _table_plan(path, t, to_srid, columns, rowids) if distributed else None
         if plan is None:
-            pdf = _read_table(path, t, to_srid, columns, rowids)
+            pdf = _read_table(path, t, to_srid, columns, rowids, bbox=bbox)
             pdf["table"] = t
             dfs.append(spark.createDataFrame(pdf))
         else:
             dfs.append(
                 _read_table_distributed(
-                    spark, path, t, to_srid, columns, rowids, plan, rows_per_partition
+                    spark, path, t, to_srid, columns, rowids, plan,
+                    rows_per_partition, bbox=bbox,
                 )
             )
     out = dfs[0]
@@ -521,10 +598,12 @@ def read_gpkg(
     return out
 
 
-def _read_table(path, table, to_srid, columns, rowids) -> pd.DataFrame:
+def _read_table(path, table, to_srid, columns, rowids, bbox=None) -> pd.DataFrame:
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         gcol = geometry_column(path, table)
+        if bbox is not None and gcol is None:
+            raise ValueError(f"bbox read requested but table {table!r} has no geometry column")
         # alias rowid explicitly — bare `rowid, *` names the column
         # after the integer pk it aliases, colliding with `*`'s copy
         sel = 'rowid AS "__gpkg_rowid", *' if rowids else "*"
@@ -537,19 +616,35 @@ def _read_table(path, table, to_srid, columns, rowids) -> pd.DataFrame:
         if gcol is not None and gcol[0] in pdf.columns:
             col, _tname, srid = gcol
             geoms = []
+            keep = [] if bbox is not None else None
             for b in pdf[col]:
                 if b is None:
                     geoms.append(None)
+                    if keep is not None:
+                        keep.append(False)
                     continue
                 g, g_srid = gpb.decode(bytes(b))
+                if keep is not None:
+                    env = g.envelope()
+                    hit = (
+                        env is not None
+                        and env[0] <= bbox[2] and env[2] >= bbox[0]
+                        and env[1] <= bbox[3] and env[3] >= bbox[1]
+                    )
+                    keep.append(hit)
+                    if not hit:
+                        geoms.append(None)
+                        continue
                 if to_srid is not None and g_srid != to_srid:
                     from ..crs.osgb import reproject
 
                     g = reproject(g, g_srid, to_srid)
                 geoms.append(gc.to_wkb(g))
-            pdf[col] = geoms
+            pdf[col] = pd.Series(geoms, index=pdf.index, dtype=object)
             pdf = pdf.rename(columns={col: "geom"})
             pdf["srid"] = to_srid if to_srid is not None else srid
+            if keep is not None:
+                pdf = pdf.loc[np.asarray(keep, dtype=bool)]
         # drop the auto fid pk column like the reference suppresses pk
         if "fid" in pdf.columns:
             pdf = pdf.drop(columns=["fid"])

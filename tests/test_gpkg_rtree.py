@@ -152,3 +152,71 @@ def test_drop_table_removes_rtree(spark, tmp_path):
     con.close()
     assert not any(n.startswith("rtree_t_geom") for n in names)
     assert all(e["table_name"] != "t" for e in gpkg.extensions(p))
+
+
+def test_bbox_read_indexed_and_unindexed_match_bruteforce(spark, tmp_path):
+    """Engine-added windowed read: read_gpkg(bbox=...) must return
+    exactly the envelope-intersecting rows, identically with an rtree
+    (candidate join + exact refine) and without one (decode+filter),
+    including boxes that only touch an envelope edge."""
+    df = _pts_df(spark, n=900, parts=5)
+    p_idx = str(tmp_path / "bi.gpkg")
+    p_plain = str(tmp_path / "bp.gpkg")
+    gpkg.write_gpkg(df, p_idx, "t", srid=27700, add_spatial_index=True)
+    gpkg.write_gpkg(df, p_plain, "t", srid=27700)
+
+    bbox = (100.0, 150.0, 300.0, 620.0)
+    # brute force over the stored blobs
+    want = set()
+    con = sqlite3.connect(p_idx)
+    for fid, blob in con.execute('SELECT fid, geom FROM "t"'):
+        if blob is None:
+            continue
+        g, _ = gpb.decode(bytes(blob))
+        env = g.envelope()
+        if env and env[0] <= bbox[2] and env[2] >= bbox[0] and env[1] <= bbox[3] and env[3] >= bbox[1]:
+            want.add(fid)
+    con.close()
+    assert 0 < len(want) < 900
+
+    for p in (p_idx, p_plain):
+        got = {
+            r["rowid"]
+            for r in gpkg.read_gpkg(spark, p, "t", rowids=True, bbox=bbox,
+                                    rows_per_partition=200).collect()
+        }
+        assert got == want, p
+    # driver-side fallback path agrees too
+    got_drv = {
+        r["rowid"]
+        for r in gpkg.read_gpkg(spark, p_idx, "t", rowids=True, bbox=bbox,
+                                distributed=False).collect()
+    }
+    assert got_drv == want
+    # attribute-only table rejects a bbox
+    attrs = df.select("i")
+    p3 = str(tmp_path / "attr.gpkg")
+    gpkg.write_gpkg(attrs, p3, "at", geom_col=None)
+    with pytest.raises(Exception, match="no geometry column"):
+        gpkg.read_gpkg(spark, p3, "at", bbox=bbox).collect()
+
+
+def test_bbox_read_with_reprojection_filters_in_native_crs(spark, tmp_path):
+    """bbox is interpreted in the file's native CRS; the filter runs
+    before reprojection and the surviving geometries come back in the
+    target CRS."""
+    from geospark.crs.osgb import reproject as _rp
+
+    pts = [(400000.0 + i * 10, 300000.0 + i * 10) for i in range(50)]
+    rows = [(gc.to_wkb(gc.from_wkt(f"POINT ({x} {y})")), i) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "geom binary, i bigint").coalesce(2)
+    p = str(tmp_path / "re.gpkg")
+    gpkg.write_gpkg(df, p, "t", srid=27700, add_spatial_index=True)
+    bbox = (400000.0, 300000.0, 400200.0, 300200.0)  # native (27700) units
+    got = gpkg.read_gpkg(spark, p, "t", to_srid=4326, bbox=bbox).collect()
+    assert len(got) == 21  # i = 0..20
+    for r in got:
+        g = gc.from_wkb(bytes(r["geom"]))
+        x, y = g.parts[0]
+        assert -10 < x < 10 and 40 < y < 60  # lon/lat, i.e. reprojected
+        assert r["srid"] == 4326
