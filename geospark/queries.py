@@ -1414,6 +1414,47 @@ WHERE a.k < b.k
 """
 
 
+def q_gpkg_bbox(spark, sf_dir) -> DataFrame:
+    """Windowed GPKG read (round 5, engine-added): customer points
+    land in an rtree-indexed GeoPackage (write builds the
+    gpkg_rtree_index extension + spec triggers); read_gpkg(bbox=...)
+    drives each scan task's candidate set from the rtree inside
+    SQLite and refines exactly — the oracle replays the same window
+    as a plain SQL filter on the point derivation."""
+    import os
+    import tempfile
+
+    from .functions import st_point, wkb_to_points_np
+    from .io import gpkg as gpkg_io
+
+    pts = customer_points(spark, sf_dir).select(
+        "c_custkey", st_point("x", "y").alias("geom")
+    )
+    path = os.path.join(tempfile.gettempdir(), "geospark_q_bbox.gpkg")
+    if os.path.exists(path):
+        os.unlink(path)
+    gpkg_io.write_gpkg(pts, path, "pts", srid=27700, add_spatial_index=True)
+    back = gpkg_io.read_gpkg(
+        spark, path, "pts", bbox=(2000.0, 3000.0, 9000.0, 12000.0)
+    )
+
+    @F.pandas_udf("x double, y double")
+    def coords(wkb: pd.Series) -> pd.DataFrame:
+        x, y = wkb_to_points_np(list(wkb))
+        return pd.DataFrame({"x": x, "y": y})
+
+    return back.withColumn("__c", coords("geom")).select(
+        "c_custkey", F.col("__c.x").alias("x"), F.col("__c.y").alias("y")
+    )
+
+
+Q_GPKG_BBOX_SQL = f"""
+WITH pts AS ({CUSTOMER_POINTS_SQL})
+SELECT c_custkey, x, y FROM pts
+WHERE x >= 2000 AND x <= 9000 AND y >= 3000 AND y <= 12000
+"""
+
+
 def q_gpkg_roundtrip(spark, sf_dir) -> DataFrame:
     """Sink/source conformance: write derived points to a GeoPackage
     (GP blob encode, metadata, extent fold), read them back (blob
@@ -1858,6 +1899,7 @@ def registry() -> Dict[str, Callable]:
         "geocode": q_geocode,
         "box_join": q_box_join,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "gpkg_bbox": q_gpkg_bbox,
         "gpkg_amend": q_gpkg_amend,
         "gpkg_schema": q_gpkg_schema,
         "tile_rollup": q_tile_rollup,
@@ -1946,6 +1988,7 @@ def oracles() -> Dict[str, str]:
         "geocode": Q_GEOCODE_SQL,
         "box_join": Q_BOX_JOIN_SQL,
         "gpkg_roundtrip": Q_GPKG_ROUNDTRIP_SQL,
+        "gpkg_bbox": Q_GPKG_BBOX_SQL,
         "gpkg_amend": Q_GPKG_AMEND_SQL,
         "gpkg_schema": Q_GPKG_SCHEMA_SQL,
         "tile_rollup": Q_TILE_ROLLUP_SQL,
