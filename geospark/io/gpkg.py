@@ -268,6 +268,38 @@ def _rowid_ranges(path: str, table: str, rows_per_partition: int):
         con.close()
 
 
+def _env_intersects(env, bbox) -> bool:
+    """Envelope (xmin, ymin, xmax, ymax) intersects bbox — the ONE
+    bbox predicate shared by the indexed, unindexed, and driver read
+    paths (closed-interval: edge touches count)."""
+    return (
+        env is not None
+        and env[0] <= bbox[2]
+        and env[2] >= bbox[0]
+        and env[1] <= bbox[3]
+        and env[3] >= bbox[1]
+    )
+
+
+def _pdf_spark_schema(pdf) -> str:
+    """Explicit DDL for an EMPTY driver-fallback result — Spark cannot
+    infer a schema from zero rows.  geom/srid/rowid/table are known;
+    other columns map from the pandas dtype (object → string)."""
+    parts = []
+    for n in pdf.columns:
+        if n == "geom":
+            t = "binary"
+        elif n in ("srid", "rowid"):
+            t = "bigint"
+        elif n == "table":
+            t = "string"
+        else:
+            t = {"i": "bigint", "u": "bigint", "f": "double", "b": "boolean",
+                 "M": "timestamp"}.get(pdf[n].dtype.kind, "string")
+        parts.append(f"`{n}` {t}")
+    return ", ".join(parts)
+
+
 def _coerce_storage_classes(pdf, fields, table):
     """SQLite permits values whose storage class differs from the
     column's declared affinity (a REAL or TEXT value in an
@@ -409,15 +441,21 @@ def _read_table_distributed(
         # rowid column after the integer pk it aliases (`fid`),
         # colliding with the pk column read via the select list
         if rtree_for_bbox is not None:
-            # rtree candidate join: non-candidates never leave SQLite
+            # rtree candidate join: non-candidates never leave SQLite.
+            # CROSS JOIN pins the join ORDER — the rtree virtual table
+            # drives (its index takes the id-range + bbox constraints
+            # together), then each candidate makes ONE rowid probe
+            # into the base table.  The reversed order (base table
+            # driving) degenerates to a full rtree scan PER ROW of
+            # the range (EXPLAIN QUERY PLAN verified).
             qsel = (
                 ", ".join(f'"{table}"."{c}"' for c in src_cols) if src_cols else "NULL"
             )
             sel = (f'"{table}".rowid AS "__gpkg_rowid", ' + qsel) if rowids else qsel
             rows = con.execute(
-                f'SELECT {sel} FROM "{table}" JOIN "{rtree_for_bbox}" __rt '
-                f'ON "{table}".rowid = __rt.id '
-                f'WHERE "{table}".rowid >= ? AND "{table}".rowid <= ? '
+                f'SELECT {sel} FROM "{rtree_for_bbox}" __rt '
+                f'CROSS JOIN "{table}" ON "{table}".rowid = __rt.id '
+                f"WHERE __rt.id >= ? AND __rt.id <= ? "
                 f"AND __rt.maxx >= ? AND __rt.minx <= ? "
                 f"AND __rt.maxy >= ? AND __rt.miny <= ?",
                 (lo, hi, bbox[0], bbox[2], bbox[1], bbox[3]),
@@ -456,16 +494,6 @@ def _read_table_distributed(
             col, _tname, srid = gcol
             geoms = []
             keep = [] if bbox is not None else None
-
-            def _bbox_hit(env):
-                return (
-                    env is not None
-                    and env[0] <= bbox[2]
-                    and env[2] >= bbox[0]
-                    and env[1] <= bbox[3]
-                    and env[3] >= bbox[1]
-                )
-
             if to_srid is None:
                 # no reprojection → the blob's payload IS the WKB the
                 # engine wants: strip the GP header instead of the
@@ -495,7 +523,7 @@ def _read_table_distributed(
                     if keep is not None:
                         # exact refine (the rtree candidates carry
                         # outward-rounded float32 bounds)
-                        keep.append(_bbox_hit(gc.from_wkb(payload).envelope()))
+                        keep.append(_env_intersects(gc.from_wkb(payload).envelope(), bbox))
                     geoms.append(payload)
             else:
                 for b in pdf[col]:
@@ -509,7 +537,7 @@ def _read_table_distributed(
                         # bbox is in the FILE's native CRS: test the
                         # envelope BEFORE reprojection, and skip the
                         # transform for dropped rows
-                        hit = _bbox_hit(g.envelope())
+                        hit = _env_intersects(g.envelope(), bbox)
                         keep.append(hit)
                         if not hit:
                             geoms.append(None)
@@ -577,13 +605,28 @@ def read_gpkg(
             distributed = spark.sparkContext.master.startswith("local")
         except Exception:
             distributed = False
-    tables = [table] if table else table_names(path, spatial_only=False)
+    if table:
+        tables = [table]
+        if bbox is not None and geometry_column(path, table) is None:
+            # fail on the DRIVER, not inside an executor task
+            raise ValueError(
+                f"bbox read requested but table {table!r} has no geometry column"
+            )
+    else:
+        # a windowed read of a whole file applies to its SPATIAL
+        # tables; attribute tables have nothing to window
+        tables = table_names(path, spatial_only=bbox is not None)
     dfs = []
     for t in tables:
         plan = _table_plan(path, t, to_srid, columns, rowids) if distributed else None
         if plan is None:
             pdf = _read_table(path, t, to_srid, columns, rowids, bbox=bbox)
             pdf["table"] = t
+            if len(pdf) == 0:
+                # Spark cannot infer a schema from zero rows (an empty
+                # bbox window or an empty table must not crash)
+                dfs.append(spark.createDataFrame(pdf, schema=_pdf_spark_schema(pdf)))
+                continue
             dfs.append(spark.createDataFrame(pdf))
         else:
             dfs.append(
@@ -604,10 +647,29 @@ def _read_table(path, table, to_srid, columns, rowids, bbox=None) -> pd.DataFram
         gcol = geometry_column(path, table)
         if bbox is not None and gcol is None:
             raise ValueError(f"bbox read requested but table {table!r} has no geometry column")
-        # alias rowid explicitly — bare `rowid, *` names the column
-        # after the integer pk it aliases, colliding with `*`'s copy
-        sel = 'rowid AS "__gpkg_rowid", *' if rowids else "*"
-        rows = con.execute(f'SELECT {sel} FROM "{table}"')
+        # the driver fallback uses the rtree candidate join too (same
+        # rtree-drives-the-join ordering as the distributed path):
+        # without it a bbox read of a multi-GB indexed table would
+        # decode every blob on the driver just to discard misses
+        rt = None
+        if bbox is not None and gcol is not None:
+            rt = f"rtree_{table}_{gcol[0]}"
+            if not _has_table(con, rt):
+                rt = None
+        if rt is not None:
+            sel = (f'"{table}".rowid AS "__gpkg_rowid", ' if rowids else "") + f'"{table}".*'
+            rows = con.execute(
+                f'SELECT {sel} FROM "{rt}" __rt '
+                f'CROSS JOIN "{table}" ON "{table}".rowid = __rt.id '
+                f"WHERE __rt.maxx >= ? AND __rt.minx <= ? "
+                f"AND __rt.maxy >= ? AND __rt.miny <= ?",
+                (bbox[0], bbox[2], bbox[1], bbox[3]),
+            )
+        else:
+            # alias rowid explicitly — bare `rowid, *` names the column
+            # after the integer pk it aliases, colliding with `*`'s copy
+            sel = 'rowid AS "__gpkg_rowid", *' if rowids else "*"
+            rows = con.execute(f'SELECT {sel} FROM "{table}"')
         names = [d[0] for d in rows.description]
         data = rows.fetchall()
         pdf = pd.DataFrame(data, columns=names)
@@ -616,22 +678,17 @@ def _read_table(path, table, to_srid, columns, rowids, bbox=None) -> pd.DataFram
         if gcol is not None and gcol[0] in pdf.columns:
             col, _tname, srid = gcol
             geoms = []
-            keep = [] if bbox is not None else None
+            keep_rows = [] if bbox is not None else None
             for b in pdf[col]:
                 if b is None:
                     geoms.append(None)
-                    if keep is not None:
-                        keep.append(False)
+                    if keep_rows is not None:
+                        keep_rows.append(False)
                     continue
                 g, g_srid = gpb.decode(bytes(b))
-                if keep is not None:
-                    env = g.envelope()
-                    hit = (
-                        env is not None
-                        and env[0] <= bbox[2] and env[2] >= bbox[0]
-                        and env[1] <= bbox[3] and env[3] >= bbox[1]
-                    )
-                    keep.append(hit)
+                if keep_rows is not None:
+                    hit = _env_intersects(g.envelope(), bbox)
+                    keep_rows.append(hit)
                     if not hit:
                         geoms.append(None)
                         continue
@@ -643,8 +700,8 @@ def _read_table(path, table, to_srid, columns, rowids, bbox=None) -> pd.DataFram
             pdf[col] = pd.Series(geoms, index=pdf.index, dtype=object)
             pdf = pdf.rename(columns={col: "geom"})
             pdf["srid"] = to_srid if to_srid is not None else srid
-            if keep is not None:
-                pdf = pdf.loc[np.asarray(keep, dtype=bool)]
+            if keep_rows is not None:
+                pdf = pdf.loc[np.asarray(keep_rows, dtype=bool)]
         # drop the auto fid pk column like the reference suppresses pk
         if "fid" in pdf.columns:
             pdf = pdf.drop(columns=["fid"])
@@ -788,7 +845,7 @@ def _nullable_int_names(fields):
     return {
         f.name
         for f in fields
-        if f.nullable and f.dataType.typeName() in ("long", "integer", "short")
+        if f.nullable and f.dataType.typeName() in ("long", "integer", "short", "byte")
     }
 
 
@@ -1075,12 +1132,14 @@ def write_gpkg(
         if not exists:
             cols_ddl = []
             for f in fields:
-                t = {"long": "INTEGER", "int": "INTEGER", "short": "INTEGER",
+                # Spark typeName()s: IntegerType is "integer" (a bare
+                # "int" key would silently declare int32 columns TEXT)
+                t = {"long": "INTEGER", "integer": "INTEGER",
+                     "short": "INTEGER", "byte": "INTEGER",
                      "double": "REAL", "float": "REAL", "boolean": "BOOLEAN",
                      "string": "TEXT", "binary": "BLOB",
-                     "timestamp": "DATETIME", "date": "DATE"}.get(
-                    f.dataType.typeName(), "TEXT"
-                )
+                     "timestamp": "DATETIME", "timestamp_ntz": "DATETIME",
+                     "date": "DATE"}.get(f.dataType.typeName(), "TEXT")
                 cols_ddl.append(f'"{f.name}" {t}')
             ddl = f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY AUTOINCREMENT'
             if spatial:

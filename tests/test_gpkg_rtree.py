@@ -220,3 +220,41 @@ def test_bbox_read_with_reprojection_filters_in_native_crs(spark, tmp_path):
         x, y = g.parts[0]
         assert -10 < x < 10 and 40 < y < 60  # lon/lat, i.e. reprojected
         assert r["srid"] == 4326
+
+
+def test_bbox_empty_window_and_mixed_file(spark, tmp_path):
+    """Review r5 pass 2: a zero-match window must return an EMPTY
+    DataFrame on every path (the driver fallback used to crash with
+    CANNOT_INFER_EMPTY_SCHEMA), and a whole-file bbox read windows the
+    spatial tables while skipping attribute tables."""
+    df = _pts_df(spark, n=60, with_nulls=False)
+    p = str(tmp_path / "mix.gpkg")
+    gpkg.write_gpkg(df, p, "t", srid=27700, add_spatial_index=True)
+    gpkg.write_gpkg(df.select("i"), p, "at", geom_col=None)
+
+    empty_box = (1e7, 1e7, 2e7, 2e7)
+    assert gpkg.read_gpkg(spark, p, "t", bbox=empty_box).count() == 0
+    assert gpkg.read_gpkg(spark, p, "t", bbox=empty_box, distributed=False).count() == 0
+    # whole-file windowed read: only the spatial table, no error
+    got = gpkg.read_gpkg(spark, p, bbox=(0.0, 0.0, 30.0, 60.0))
+    assert set(r["table"] for r in got.collect()) == {"t"}
+    assert got.count() > 0
+
+
+def test_write_int32_and_byte_columns_declared_integer(spark, tmp_path):
+    """Review r5 pass 2: IntegerType's typeName is 'integer', not
+    'int' — int32/byte columns must be declared INTEGER and round-trip
+    as integers (they were declared TEXT and came back as strings)."""
+    df = spark.createDataFrame(
+        [(1, 10, 3), (2, None, 5)], "k int, v int, b tinyint"
+    ).coalesce(1)
+    p = str(tmp_path / "i32.gpkg")
+    gpkg.write_gpkg(df, p, "t", geom_col=None)
+    con = sqlite3.connect(p)
+    decls = {r[1]: r[2] for r in con.execute('PRAGMA table_info("t")')}
+    vals = con.execute('SELECT k, v, b FROM "t" ORDER BY fid').fetchall()
+    con.close()
+    assert decls["k"] == "INTEGER" and decls["v"] == "INTEGER" and decls["b"] == "INTEGER"
+    assert vals == [(1, 10, 3), (2, None, 5)]
+    back = {r["k"]: (r["v"], r["b"]) for r in gpkg.read_gpkg(spark, p, "t").collect()}
+    assert back == {1: (10, 3), 2: (None, 5)}
