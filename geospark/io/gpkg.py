@@ -112,12 +112,15 @@ def table_names(path: str, spatial_only: bool = False) -> List[str]:
     """User tables (gpkg.clj:311-328)."""
     con = sqlite3.connect(path)
     try:
-        if spatial_only or _has_table(con, "gpkg_contents"):
+        if _has_table(con, "gpkg_contents"):
             rows = con.execute(
                 "SELECT table_name FROM gpkg_contents"
                 + (" WHERE data_type='features'" if spatial_only else "")
             ).fetchall()
             return [r[0] for r in rows]
+        if spatial_only:
+            # no gpkg_contents → provably no registered spatial tables
+            return []
         rows = con.execute(
             "SELECT name FROM sqlite_master WHERE type='table' AND name NOT LIKE 'gpkg_%' AND name NOT LIKE 'sqlite_%' AND name NOT LIKE 'rtree_%'"
         ).fetchall()
@@ -431,7 +434,10 @@ def _read_table_distributed(
     # narrow `columns=` projection never deserializes dropped blobs.
     src_cols = []
     for n in out_names:
-        if n in ("rowid", "srid", "table"):
+        # skip only the columns that are actually SYNTHESIZED for this
+        # table: srid is synthesized only for spatial tables — an
+        # attribute table keeps a real user column named srid
+        if n == "table" or (n == "rowid" and rowids) or (n == "srid" and gcol is not None):
             continue
         src_cols.append(gcol[0] if (n == "geom" and gcol is not None) else n)
     sel_cols = ", ".join(f'"{c}"' for c in src_cols) if src_cols else "NULL"
@@ -489,6 +495,8 @@ def _read_table_distributed(
         else:
             pdf = pd.DataFrame(columns=names)
         if rowids:
+            if "rowid" in pdf.columns:
+                pdf = pdf.drop(columns=["rowid"])  # synthesized rowid wins
             pdf = pdf.rename(columns={"__gpkg_rowid": "rowid"})
         if gcol is not None and gcol[0] in pdf.columns:
             col, _tname, srid = gcol
@@ -616,6 +624,10 @@ def read_gpkg(
         # a windowed read of a whole file applies to its SPATIAL
         # tables; attribute tables have nothing to window
         tables = table_names(path, spatial_only=bbox is not None)
+    if not tables:
+        raise ValueError(
+            f"no {'spatial ' if bbox is not None else ''}tables to read in {path!r}"
+        )
     dfs = []
     for t in tables:
         plan = _table_plan(path, t, to_srid, columns, rowids) if distributed else None
@@ -672,11 +684,42 @@ def _read_table(path, table, to_srid, columns, rowids, bbox=None) -> pd.DataFram
             rows = con.execute(f'SELECT {sel} FROM "{table}"')
         names = [d[0] for d in rows.description]
         data = rows.fetchall()
-        pdf = pd.DataFrame(data, columns=names)
+        # same int64+NULL→float64 protection as the distributed scan:
+        # INTEGER-declared columns holding a NULL (or a stray REAL)
+        # must not promote to float64, which silently rounds values
+        # beyond 2^53 — this fallback is the default on non-local
+        # masters and the documented remedy for coercion errors
+        int_decl = {
+            r[1]
+            for r in con.execute(f'PRAGMA table_info("{table}")')
+            if "INT" in (r[2] or "").upper()
+        }
+        if data:
+            arrays = list(zip(*data))
+            pdf = pd.DataFrame(
+                {
+                    nm: (
+                        pd.Series(arrays[i], dtype=object)
+                        if nm in int_decl
+                        and any(v is None or type(v) is float for v in arrays[i])
+                        else pd.Series(arrays[i])
+                    )
+                    for i, nm in enumerate(names)
+                }
+            )
+        else:
+            pdf = pd.DataFrame(columns=names)
         if rowids:
+            if "rowid" in pdf.columns:
+                pdf = pdf.drop(columns=["rowid"])  # synthesized rowid wins
             pdf = pdf.rename(columns={"__gpkg_rowid": "rowid"})
         if gcol is not None and gcol[0] in pdf.columns:
             col, _tname, srid = gcol
+            # a real attribute column named 'geom' (or 'rowid' with
+            # rowids=True) would DUPLICATE after the rename below —
+            # the geometry/rowid win deterministically, as documented
+            if col != "geom" and "geom" in pdf.columns:
+                pdf = pdf.drop(columns=["geom"])
             geoms = []
             keep_rows = [] if bbox is not None else None
             for b in pdf[col]:
@@ -920,7 +963,10 @@ def _sink_parts_df(df, geom_col: Optional[str], srid: int, fields, tmpdir: str, 
     ATTACH-merges the parts in partition order at C speed (measured
     3.3M rows/s vs 30k rows/s for the per-row toLocalIterator
     stream), which is the write-side mirror of the rowid-range
-    distributed scan (this file, _read_table_distributed)."""
+    distributed scan (this file, _read_table_distributed).
+
+    batch_size is accepted for signature parity with the sink but
+    unused here: the kernel batches by Arrow batch size."""
     spatial = geom_col is not None and geom_col in df.columns
     with_envelope = with_envelope and spatial
     ts_names, date_names, bool_names = _sink_conversions(fields)
@@ -1128,7 +1174,14 @@ def write_gpkg(
                 exists = False
             elif if_exists == "delete-rows":
                 con.execute(f'DELETE FROM "{table}"')
-        fields = [f for f in df.schema.fields if f.name not in (geom_col, "srid")]
+        # `srid` is the synthesized read-side column and is dropped on
+        # a SPATIAL round trip; an attribute-only table keeps a user
+        # column that happens to be named srid (no synthesis there)
+        fields = [
+            f
+            for f in df.schema.fields
+            if f.name != geom_col and (not spatial or f.name != "srid")
+        ]
         if not exists:
             cols_ddl = []
             for f in fields:
@@ -1163,6 +1216,17 @@ def write_gpkg(
         placeholders = ",".join("?" * len(col_names))
         ins = f'INSERT INTO "{table}" ({",".join(chr(34)+c+chr(34) for c in col_names)}) VALUES ({placeholders})'
         ext = [math.inf, math.inf, -math.inf, -math.inf]
+        if exists and if_exists == "append" and spatial:
+            # FOLD the appended batch's extent with the recorded layer
+            # extent — overwriting with only the new rows would shrink
+            # gpkg_contents to the batch (zoom-to-layer etc. would
+            # miss the existing features)
+            row = con.execute(
+                "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents WHERE table_name=?",
+                (table,),
+            ).fetchone()
+            if row and row[0] is not None:
+                ext = [row[0], row[1], row[2], row[3]]
         batch: List[tuple] = []
 
         if sink_mode not in ("auto", "merge", "stream", "driver"):
@@ -1257,6 +1321,10 @@ def write_gpkg(
                             )
                             con.commit()
                         finally:
+                            # a failed INSERT leaves an open implicit transaction,
+                            # in which DETACH raises 'database is locked' and masks
+                            # the root cause - roll back first (no-op when clean)
+                            con.rollback()
                             con.execute("DETACH __gpkg_part")
                         if spatial and r.xmin is not None:
                             if r.xmin < ext[0]:
@@ -1308,6 +1376,10 @@ def write_gpkg(
                             )
                             con.commit()
                         finally:
+                            # a failed INSERT leaves an open implicit transaction,
+                            # in which DETACH raises 'database is locked' and masks
+                            # the root cause - roll back first (no-op when clean)
+                            con.rollback()
                             con.execute("DETACH __gpkg_part")
             finally:
                 shutil.rmtree(tmpdir, ignore_errors=True)
@@ -1622,6 +1694,10 @@ def amend_gpkg(
                         )
                         con.commit()  # temp-table insert; DETACH needs no open txn
                     finally:
+                        # a failed INSERT leaves an open implicit transaction,
+                        # in which DETACH raises 'database is locked' and masks
+                        # the root cause - roll back first (no-op when clean)
+                        con.rollback()
                         con.execute("DETACH __gpkg_part")
             finally:
                 shutil.rmtree(tmpdir, ignore_errors=True)
@@ -1684,6 +1760,12 @@ def amend_gpkg(
                 f"SELECT MAX({key}) FROM __amend a WHERE a.__singular = 1 "
                 f"AND a.{key} IS NOT NULL AND a.{key} NOT IN (SELECT k FROM __matched)"
             ).fetchone()[0]
+            if maxk is not None and not _has_table(con, "sqlite_sequence"):
+                # foreign GPKG with no AUTOINCREMENT table anywhere:
+                # there is no sequence to pre-bump (and plain rowid
+                # assignment already uses max(rowid)+1, which the
+                # unmatched-insert ordering below keeps safe)
+                maxk = None
             if maxk is not None:
                 cur = con.execute(
                     "SELECT seq FROM sqlite_sequence WHERE name = ?", (table,)

@@ -370,3 +370,143 @@ def test_gpb_payload_offset_rejects_extended_and_garbage():
         gpb.payload_offset(bytes(ext))
     with _pytest.raises(gpb.GpbError):
         gpb.payload_offset(b"XXXXXXXXXX")
+
+
+def test_driver_fallback_bigint_with_nulls_exact(spark, tmp_path):
+    """Review r5 pass 3: the driver fallback (the documented remedy
+    path) must not round >2^53 ints when the column has NULLs."""
+    import sqlite3
+
+    big = 2**53 + 1
+    p = str(tmp_path / "dfb.gpkg")
+    con = sqlite3.connect(p)
+    gpkg._bootstrap(con)
+    con.execute("CREATE TABLE t (fid INTEGER PRIMARY KEY, v INTEGER)")
+    con.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier) VALUES ('t','attributes','t')"
+    )
+    con.executemany("INSERT INTO t (v) VALUES (?)", [(big,), (None,)])
+    con.commit()
+    con.close()
+    got = sorted(
+        r["v"] for r in gpkg.read_gpkg(spark, p, "t", distributed=False).collect()
+        if r["v"] is not None
+    )
+    assert got == [big]
+
+
+def test_append_folds_layer_extent(spark, tmp_path):
+    """Review r5 pass 3: appending must FOLD the recorded extent with
+    the new batch, not shrink it to the batch."""
+    import sqlite3
+
+    from geospark.geom import core as gc
+
+    def pts(coords):
+        rows = [(gc.to_wkb(gc.from_wkt(f"POINT ({x} {y})")),) for x, y in coords]
+        return spark.createDataFrame(rows, "geom binary").coalesce(1)
+
+    p = str(tmp_path / "ext.gpkg")
+    gpkg.write_gpkg(pts([(0, 0), (100, 100)]), p, "t", srid=27700)
+    gpkg.write_gpkg(pts([(5, 5)]), p, "t", srid=27700, if_exists="append")
+    con = sqlite3.connect(p)
+    ext = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents WHERE table_name='t'"
+    ).fetchone()
+    con.close()
+    assert ext == (0.0, 0.0, 100.0, 100.0)
+    # delete-rows resets the extent to the new batch only
+    gpkg.write_gpkg(pts([(5, 5), (7, 9)]), p, "t", srid=27700, if_exists="delete-rows")
+    con = sqlite3.connect(p)
+    ext = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents WHERE table_name='t'"
+    ).fetchone()
+    con.close()
+    assert ext == (5.0, 5.0, 7.0, 9.0)
+
+
+def test_amend_outer_join_without_sqlite_sequence(tmp_path):
+    """Review r5 pass 3: outer-join amend on a foreign GPKG whose
+    table has no AUTOINCREMENT (so no sqlite_sequence at all) must not
+    crash on the seq pre-bump."""
+    import sqlite3
+
+    p = str(tmp_path / "noseq.gpkg")
+    con = sqlite3.connect(p)
+    gpkg._bootstrap(con)
+    con.execute("CREATE TABLE t (fid INTEGER PRIMARY KEY, v TEXT)")
+    con.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier) VALUES ('t','attributes','t')"
+    )
+    con.executemany("INSERT INTO t (fid, v) VALUES (?, ?)", [(1, "a"), (2, "b")])
+    con.commit()
+    con.close()
+    gpkg.amend_gpkg(
+        pd.DataFrame({"rowid": [2, 9], "v": ["B", "NEW"]}), p, "t", method="outer-join"
+    )
+    con = sqlite3.connect(p)
+    rows = con.execute("SELECT fid, v FROM t ORDER BY fid").fetchall()
+    con.close()
+    assert rows == [(1, "a"), (2, "B"), (9, "NEW")]
+
+
+def test_empty_and_foreign_file_edges(spark, tmp_path):
+    """Review r5 pass 3: spatial_only listing on a plain SQLite file
+    returns [] (not a gpkg_contents crash); reading a table-less
+    GeoPackage raises a CLEAR error instead of IndexError; a write
+    keeps a user column named 'srid' on attribute-only tables."""
+    import sqlite3
+
+    import pytest
+
+    plain = str(tmp_path / "plain.db")
+    con = sqlite3.connect(plain)
+    con.execute("CREATE TABLE x (a INTEGER)")
+    con.commit()
+    con.close()
+    assert gpkg.table_names(plain, spatial_only=True) == []
+    assert gpkg.table_names(plain) == ["x"]
+
+    empty = str(tmp_path / "empty.gpkg")
+    con = sqlite3.connect(empty)
+    gpkg._bootstrap(con)
+    con.commit()
+    con.close()
+    with pytest.raises(ValueError, match="no tables"):
+        gpkg.read_gpkg(spark, empty)
+
+    p = str(tmp_path / "srid.gpkg")
+    df = spark.createDataFrame([(27700, "bng")], "srid bigint, name string").coalesce(1)
+    gpkg.write_gpkg(df, p, "srs_lut", geom_col=None)
+    back = gpkg.read_gpkg(spark, p, "srs_lut").collect()
+    assert back[0]["srid"] == 27700 and back[0]["name"] == "bng"
+
+
+def test_driver_fallback_geom_name_collision(spark, tmp_path):
+    """Review r5 pass 3: geometry column named 'shape' plus a real
+    attribute named 'geom' — the driver fallback must not produce
+    duplicate columns; the geometry wins deterministically."""
+    import sqlite3
+
+    from geospark.io import gpb
+    from geospark.geom import core as gc
+
+    p = str(tmp_path / "coll.gpkg")
+    con = sqlite3.connect(p)
+    gpkg._bootstrap(con)
+    con.execute("CREATE TABLE t (fid INTEGER PRIMARY KEY, shape GEOMETRY, geom TEXT)")
+    con.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier, srs_id) VALUES ('t','features','t',4326)"
+    )
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES ('t','shape','GEOMETRY',4326,0,0)"
+    )
+    blob = gpb.encode(gc.from_wkt("POINT (1 2)"), 4326)
+    con.execute("INSERT INTO t (shape, geom) VALUES (?, ?)", (blob, "decoy"))
+    con.commit()
+    con.close()
+    assert gpkg._table_plan(p, "t", None, None, False) is None  # routes to fallback
+    got = gpkg.read_gpkg(spark, p, "t").collect()
+    assert len(got) == 1
+    g = gc.from_wkb(bytes(got[0]["geom"]))
+    assert (g.parts[0][0], g.parts[0][1]) == (1.0, 2.0)
