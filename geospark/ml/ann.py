@@ -69,10 +69,14 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the queries, scan the corpus once
     (at 100 TB this is the right plan: one pass, no shuffle of the big
     side; the window is per-query, partitioned on qid)."""
+    from ..partitioning import spread_small_scan
+
     q = queries.select(
         F.col(qid).alias("__qid"), F.transform(F.col(q_emb), lambda v: v.cast("double")).alias("__qe")
     )
-    c = corpus.select(
+    # the per-pair cosine fold is the expensive stage; a one-row-group
+    # corpus scan would run it on a single core
+    c = spread_small_scan(corpus, cid).select(
         F.col(cid).alias("__cid"), F.transform(F.col(c_emb), lambda v: v.cast("double")).alias("__ce")
     )
     pairs = c.crossJoin(F.broadcast(q)).withColumn(
@@ -152,7 +156,9 @@ def ivf_topk(
         top = np.argsort(-sims, axis=1)[:, : min(nprobe, C.shape[0])]
         return pd.Series([row.astype(np.int64).tolist() for row in top])
 
-    c = corpus.select(
+    from ..partitioning import spread_small_scan
+
+    c = spread_small_scan(corpus, cid).select(
         F.col(cid).alias("__cid"),
         F.transform(F.col(c_emb), lambda v: v.cast("double")).alias("__ce"),
         nearest_center(F.col(c_emb)).alias("__ctr"),
@@ -201,7 +207,9 @@ def ivf_topk_deterministic(
     Pure DataFrame ops (no pandas UDF): the corpus×centers scoring is
     a broadcast nested-loop the JVM codegens; at 100 TB the corpus is
     scanned once and only the tiny center table is broadcast."""
-    c = corpus.select(
+    from ..partitioning import spread_small_scan
+
+    c = spread_small_scan(corpus, cid).select(
         F.col(cid).alias("__cid"),
         F.transform(F.col(c_emb), lambda v: v.cast("double")).alias("__ce"),
     )
@@ -265,6 +273,11 @@ def _cosine_near_dups_matmul(
     # ratio form dot/(|a||b|), the same float ops as the SQL oracle
     norms = np.maximum(np.sqrt((M_s * M_s).sum(axis=1)), 1e-300)
     bc = c.sparkSession.sparkContext.broadcast((ids_s, M_s, norms))
+    # the scan side of a union/one-row-group corpus can be badly
+    # unbalanced (one fat partition does every matmul); the corpus is
+    # collect-gated small here, so an explicit hash spread is cheap
+    # and makes the B x N scoring embarrassingly parallel
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism, "__id")
 
     out_schema = StructType(
         [
@@ -285,24 +298,27 @@ def _cosine_near_dups_matmul(
             step = max(1, chunk_doubles // max(len(B), 1))
             for c0 in range(0, len(all_ids), step):
                 c1 = min(c0 + step, len(all_ids))
-                sims = np.round(
-                    (B @ allM[c0:c1].T)
-                    / (bnorm[:, None] * allnorm[None, c0:c1]),
-                    6,
-                )
-                # keep only columns with a LARGER id than the batch
-                # row's (id_a < id_b, each unordered pair once, no
-                # self pairs)
+                raw = (B @ allM[c0:c1].T) / (bnorm[:, None] * allnorm[None, c0:c1])
+                # pre-filter on the raw sims with a half-ulp-of-6dp
+                # margin, THEN round only the survivors: np.round over
+                # the full B x N matrix costs more than the matmul
+                # itself, and round(x, 6) >= t can only admit raw
+                # values within 5e-7 of t.  Threshold semantics are
+                # unchanged (exact filter on the rounded value below).
                 hit_r, hit_c = np.nonzero(
-                    (sims >= threshold)
+                    (raw >= threshold - 1e-6)
                     & (bids[:, None] < all_ids[None, c0:c1])
                 )
+                if len(hit_r):
+                    sims = np.round(raw[hit_r, hit_c], 6)
+                    keep = sims >= threshold
+                    hit_r, hit_c, sims = hit_r[keep], hit_c[keep], sims[keep]
                 if len(hit_r):
                     yield pd.DataFrame(
                         {
                             "id_a": bids[hit_r],
                             "id_b": all_ids[c0 + hit_c],
-                            "sim": sims[hit_r, hit_c],
+                            "sim": sims,
                         }
                     )
 
@@ -419,8 +435,10 @@ def lsh_topk(
     def band_col(sig, b):
         return F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(F.lit(band_mask))
 
+    from ..partitioning import spread_small_scan
+
     # corpus: one row per (band, bucket) — 4 rows per vector
-    c = corpus.select(
+    c = spread_small_scan(corpus, cid).select(
         F.col(cid).alias("__cid"),
         F.transform(F.col(c_emb), lambda v: v.cast("double")).alias("__ce"),
         signature(F.col(c_emb)).alias("__sig"),

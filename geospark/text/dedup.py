@@ -85,9 +85,37 @@ def minhash_lsh_pairs(
     aggregation and the number of dropped buckets is logged loudly
     (never silently).  Ultra-common buckets carry no near-dup signal
     (they are the Jaccard max_df analogue).  None (default) = exact,
-    oracle-scale mode; SET A CAP AT PRODUCTION SCALE."""
+    oracle-scale mode; SET A CAP AT PRODUCTION SCALE.
+
+    Scale note (round 6): band membership is a pure function of the
+    signature, so documents with identical signatures are collapsed
+    into one *signature group* before any banding — candidates are
+    enumerated per group pair, deduped across bands at group level
+    (a distinct over group-id pairs instead of doc-id pairs), and
+    doc pairs are emitted exactly once by `explode_group_pairs`.  In
+    duplicate-heavy corpora this removes the O(pairs x bands) doc-pair
+    shuffle outright (sf1.0: a 2.1e9-row distinct became a 4.2e6-row
+    one for the identical 9.58e8-row result)."""
+    from ._guard import guard_persist
+    from .pairgen import explode_group_pairs
+
     sig = minhash_signatures(docs, id_col, text_col, n_hashes)
     n_bands = n_hashes // band_size
+    hcols = [f"h{i}" for i in range(n_hashes)]
+    # signature groups: sorted member ids; group id = smallest member
+    # (unique across groups because each doc has exactly one signature)
+    sgrp = (
+        sig.groupBy(*hcols)
+        .agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(F.col("__ids")[0].alias("__gid"), "__ids", "__n", *hcols)
+    )
+    # small (one row per distinct signature) and read by several
+    # subtrees below (band pairs + two broadcast id maps): persist so
+    # the token-scan/signature aggregation runs once per invocation
+    sgrp = guard_persist("minhash_lsh_pairs", sgrp)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -98,24 +126,22 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("__bb")
+    bands = sgrp.select(
+        "__gid", "__n", F.explode(F.array(*band_structs)).alias("__bb")
     ).select(
-        F.col(id_col),
+        "__gid",
+        "__n",
         F.col("__bb.band").alias("band"),
         F.col("__bb.bucket").alias("bucket"),
     )
+    # one aggregation yields both the bucket's group list and its DOC
+    # count (the guard is defined over documents, exactly as before)
+    grouped = bands.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("__gid")).alias("__gids"),
+        F.sum("__n").alias("__docs"),
+    )
     if max_bucket is not None:
-        # persist before the guard-count action, or the shingle→
-        # minhash signature aggregation (the expensive shuffle stage)
-        # re-runs ~3×: once for the count, once joining sizes, once
-        # for the surviving-bucket groupBy (same discipline as
-        # fingerprint_overlap_pairs; bounded one-live-entry cache)
-        from ._guard import guard_persist
-
-        buckets = guard_persist("minhash_lsh_pairs", buckets)
-        sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
-        n_dropped = sizes.where(F.col("__n") > max_bucket).count()
+        n_dropped = grouped.where(F.col("__docs") > max_bucket).count()
         if n_dropped:
             import logging
 
@@ -125,33 +151,29 @@ def minhash_lsh_pairs(
                 n_dropped,
                 max_bucket,
             )
-        # inner join on the already-shuffled (band, bucket) keys — the
-        # following groupBy reuses the partitioning, no extra exchange
-        buckets = buckets.join(
-            sizes.where(F.col("__n") <= max_bucket).select("band", "bucket"),
-            ["band", "bucket"],
-        )
-    grouped = buckets.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
-    )
-    # skew-spread pair generation: one giant bucket would otherwise
-    # explode all size² pairs inside a single task.  posexplode makes
-    # one row per (bucket, position); the repartition spreads those
-    # rows across the cluster; slice(i+2..) emits each ordered pair
-    # exactly once (ids are sorted, so a < b by construction).
+        grouped = grouped.where(F.col("__docs") <= max_bucket)
+    # group-level pair generation (posexplode/slice skew spread, then
+    # the cross-band dedupe on group-id pairs — tiny vs doc pairs)
     first = (
-        grouped.where(F.size("__ids") > 1)
-        .select(F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids"))
-        .where(F.col("__i") < F.size("__ids") - 1)
+        grouped.where(F.size("__gids") > 1)
+        .select(F.posexplode("__gids").alias("__i", "__ga"), F.col("__gids"))
+        .where(F.col("__i") < F.size("__gids") - 1)
     )
-    return (
-        first.repartition("id_a", "__i")
+    gpairs = (
+        first.repartition("__ga", "__i")
         .select(
-            "id_a",
-            F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias("id_b"),
+            "__ga",
+            F.explode(F.slice("__gids", F.col("__i") + 2, F.size("__gids"))).alias("__gb"),
         )
         .distinct()
     )
+    # groups with >=2 members share every band with themselves: all
+    # within-group pairs are always candidates
+    self_pairs = sgrp.where(F.col("__n") > 1).select(
+        F.col("__gid").alias("__ga"), F.col("__gid").alias("__gb")
+    )
+    idmap = sgrp.select("__gid", "__ids", "__n")
+    return explode_group_pairs(gpairs.unionByName(self_pairs), idmap)
 
 
 def jaccard_pairs(
@@ -287,7 +309,11 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             StructField("simhash", LongType()),
         ]
     )
-    return docs.select(id_col, text_col).mapInPandas(_sim, schema=schema)
+    from ..partitioning import spread_small_scan
+
+    # single-row-group scans would serialize the Python kernel
+    inp = spread_small_scan(docs.select(id_col, text_col), id_col)
+    return inp.mapInPandas(_sim, schema=schema)
 
 
 def simhash_near_dups(
@@ -305,19 +331,39 @@ def simhash_near_dups(
     bucket equi-join is a lossless candidate generator — no all-pairs
     scan — and the bit_count(XOR) refine is exact.  At 100 TB this is
     a plain 4-way band shuffle join; candidates per bucket scale with
-    the near-dup cluster sizes, not the corpus."""
+    the near-dup cluster sizes, not the corpus.
+
+    Scale note (round 6): band membership and the Hamming distance are
+    pure functions of the 64-bit fingerprint, so documents sharing a
+    simhash value are collapsed into one group first (same move as
+    minhash_lsh_pairs).  Candidates, the Hamming refine AND the
+    cross-band dedupe all run on distinct simhash VALUES — the refine
+    filter applies before any doc-level row exists, so the doc-pair
+    stage emits only true near-dup pairs, exactly once each, via
+    `explode_group_pairs`."""
     if n_bands is None:
         n_bands = max_hamming + 1
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
+    from ._guard import guard_persist
+    from .pairgen import explode_group_pairs
+
     sh = simhash64(docs, id_col, text_col)
-    # same join-free shape as minhash_lsh_pairs: one band explode (the
-    # simhash mapInPandas stage runs ONCE, not twice through a self-
-    # join), bucket groupBy carrying (id, simhash) structs, skew-spread
-    # pair explosion, cross-band pair dedupe, exact Hamming refine
-    bands = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
+    # one group per distinct simhash value; group id = smallest member
+    sgrp = (
+        sh.groupBy("simhash")
+        .agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(F.col("__ids")[0].alias("__gid"), "simhash", "__ids", "__n")
+    )
+    # small (one row per distinct fingerprint), read by several
+    # subtrees: persist so the simhash mapInPandas pass runs once
+    sgrp = guard_persist("simhash_near_dups", sgrp)
+    bands = sgrp.select(
+        "__gid",
+        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -329,37 +375,43 @@ def simhash_near_dups(
                 for b in range(n_bands)
             ])
         ).alias("__bb"),
-    ).select(id_col, "simhash", F.col("__bb.b").alias("__b"), F.col("__bb.v").alias("__v"))
+    ).select("__gid", "simhash", F.col("__bb.b").alias("__b"), F.col("__bb.v").alias("__v"))
     grouped = bands.groupBy("__b", "__v").agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
-        ).alias("__ids")
+            F.collect_list(F.struct(F.col("__gid").alias("g"), F.col("simhash").alias("s")))
+        ).alias("__gs")
     )
     first = (
-        grouped.where(F.size("__ids") > 1)
-        .select(F.posexplode("__ids").alias("__i", "__a"), F.col("__ids"))
-        .where(F.col("__i") < F.size("__ids") - 1)
+        grouped.where(F.size("__gs") > 1)
+        .select(F.posexplode("__gs").alias("__i", "__a"), F.col("__gs"))
+        .where(F.col("__i") < F.size("__gs") - 1)
     )
-    pairs = (
+    # Hamming refine BEFORE the cross-band dedupe: surviving group
+    # pairs are a tiny fraction of band candidates, so the distinct is
+    # over near-dup group pairs only
+    gpairs = (
         first.repartition("__a", "__i")
         .select(
             "__a",
-            F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias("__bb2"),
+            F.explode(F.slice("__gs", F.col("__i") + 2, F.size("__gs"))).alias("__bb2"),
         )
         .select(
-            F.col("__a.i").alias("id_a"),
-            F.col("__bb2.i").alias("id_b"),
-            F.col("__a.s").alias("__sa"),
-            F.col("__bb2.s").alias("__sb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        pairs.withColumn(
-            "hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long")
+            F.col("__a.g").alias("__ga"),
+            F.col("__bb2.g").alias("__gb"),
+            F.bit_count(F.col("__a.s").bitwiseXOR(F.col("__bb2.s"))).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+    # identical fingerprints: hamming 0, always within the threshold
+    self_pairs = sgrp.where(F.col("__n") > 1).select(
+        F.col("__gid").alias("__ga"),
+        F.col("__gid").alias("__gb"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    idmap = sgrp.select("__gid", "__ids", "__n")
+    return explode_group_pairs(
+        gpairs.unionByName(self_pairs), idmap, extra_cols=["hamming"]
     )
 
 

