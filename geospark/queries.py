@@ -960,13 +960,17 @@ def q_corpus_clean(spark, sf_dir) -> DataFrame:
     row-local expressions folded into the ONE documents scan (no join,
     no shuffle — filters run before the exchange); only dedup shuffles
     (groupBy text-hash + one doc_id join back)."""
-    from .partitioning import spread_small_scan
     from .text.dedup import exact_dedup
 
-    # spread the one-row-group scan: the quality/lang-id expression
-    # battery and the md5 grouping both parallelize, and the two
-    # branches reuse the same exchange
-    d = spread_small_scan(_t(spark, sf_dir, "documents"), "doc_id")
+    # NOT spread (round 6, measured): PushDownPredicates rewrites the
+    # quality/lang-id filter in terms of the scan columns and moves it
+    # below any repartition, so a spread here evaluates the expression
+    # battery TWICE (once serialized below the exchange for the
+    # filter, once above for the projected columns) — sf0.1 went
+    # 0.51s -> 0.62s and sf1.0 stayed flat.  The narrow-scan filter
+    # evaluation is ~1s at sf1.0; fixing it would need an opaque
+    # barrier (a Python passthrough) that costs about what it saves.
+    d = _t(spark, sf_dir, "documents")
     q = _quality_exprs(F.col("text"))
     pred = _langid_pred(F.col("text"))
     kept = d.select(

@@ -25,6 +25,11 @@ MINHASH_B = [17, 131, 731, 1399, 2677, 3307, 4021, 4801]
 
 def tokens_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct whitespace tokens per document."""
+    from ..partitioning import spread_small_scan
+
+    # split+array_distinct+explode is the per-row-expensive stage of
+    # every tokens consumer; a one-row-group scan would run it serially
+    docs = spread_small_scan(docs.select(id_col, text_col), id_col)
     return docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
