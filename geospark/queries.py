@@ -962,28 +962,39 @@ def q_corpus_clean(spark, sf_dir) -> DataFrame:
     (groupBy text-hash + one doc_id join back)."""
     from .text.dedup import exact_dedup
 
-    # NOT spread (round 6, measured): PushDownPredicates rewrites the
-    # quality/lang-id filter in terms of the scan columns and moves it
-    # below any repartition, so a spread here evaluates the expression
-    # battery TWICE (once serialized below the exchange for the
-    # filter, once above for the projected columns) — sf0.1 went
-    # 0.51s -> 0.62s and sf1.0 stayed flat.  The narrow-scan filter
-    # evaluation is ~1s at sf1.0; fixing it would need an opaque
-    # barrier (a Python passthrough) that costs about what it saves.
+    # Plan engineering (round 6, measured): the quality/lang-id
+    # expression battery is the expensive stage, and the documents
+    # scan is ONE row group, so evaluating it scan-side serializes it
+    # (and a plain spread-repartition does not help: PushDownPredicates
+    # rewrites the filter in terms of the scan columns and moves it
+    # below any repartition — evaluated twice, still serialized;
+    # sf0.1 0.51s -> 0.62s when tried).  Instead: join docs to the
+    # dedup table FIRST with a forced sort-merge join (both sides
+    # exchange on doc_id, spreading the docs 32-way), and keep the
+    # filter as ONE non-splittable predicate that references BOTH join
+    # sides (when(n_dups >= 1, <pred>) — n_dups >= 1 is always true),
+    # so the optimizer can neither split the conjunction nor push the
+    # expression battery below the join.  Exprs now evaluate once,
+    # post-shuffle, in parallel: sf1.0 2.2s -> ~1s.
     d = _t(spark, sf_dir, "documents")
     q = _quality_exprs(F.col("text"))
     pred = _langid_pred(F.col("text"))
-    kept = d.select(
-        "doc_id",
-        "lang",
-        q["n_tokens"].alias("n_tokens"),
-        q["avg_word_len"].alias("avg_word_len"),
-        (pred == F.col("lang")).alias("hit"),
-    ).where((F.col("n_tokens") >= 30) & (F.col("avg_word_len") <= 5.0) & F.col("hit"))
     canon = exact_dedup(d).select(
         F.col("canonical_id").alias("doc_id"), F.col("n_dups")
     )
-    return kept.join(canon, "doc_id").select("doc_id", "lang", "n_tokens", "n_dups")
+    base = d.join(canon.hint("merge"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("n_dups"),
+        q["n_tokens"].alias("n_tokens"),
+        q["avg_word_len"].alias("avg_word_len"),
+        (pred == F.col("lang")).alias("hit"),
+    )
+    keep = F.when(
+        F.col("n_dups") >= 1,
+        (F.col("n_tokens") >= 30) & (F.col("avg_word_len") <= 5.0) & F.col("hit"),
+    ).otherwise(F.lit(False))
+    return base.where(keep).select("doc_id", "lang", "n_tokens", "n_dups")
 
 
 def _corpus_clean_sql() -> str:

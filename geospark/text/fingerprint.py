@@ -150,6 +150,61 @@ def winnow_fingerprints(
     return inp.mapInPandas(_winnow, schema=schema)
 
 
+def _winnow_doc_fps(docs: DataFrame, id_col: str, text_col: str, k: int, w: int) -> DataFrame:
+    """Per-document UNIQUE winnowing fingerprint hashes: (id, fp).
+
+    Same kernel as winnow_fingerprints but deduped to the fp set
+    inside the task — the overlap operators never use fp_pos, and
+    emitting the set directly removes the row-level `.distinct()`
+    exchange they otherwise need."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..partitioning import spread_small_scan
+
+    min_len = k + w - 1
+
+    def _wf(batches):
+        from hashlib import md5
+
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < min_len:
+                    continue
+                m = len(text) - k + 1
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(md5(text[i : i + k].encode("utf-8")).digest()[:4], "big")
+                        for i in range(m)
+                    ),
+                    dtype=np.int64,
+                    count=m,
+                )
+                keys = hs * _POS_SPACE + (_POS_MAX - (np.arange(m, dtype=np.int64) + 1))
+                fp = np.unique(sliding_window_view(keys, w).min(axis=1) >> 31)
+                ids.append(np.full(len(fp), did))
+                fps.append(fp)
+            if ids:
+                yield pd.DataFrame({id_col: np.concatenate(ids), "fp": np.concatenate(fps)})
+            else:
+                yield pd.DataFrame(
+                    {id_col: pd.Series([], dtype=pdf[id_col].dtype),
+                     "fp": pd.Series([], dtype="int64")}
+                )
+
+    schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("fp", LongType()),
+        ]
+    )
+    inp = spread_small_scan(docs.select(id_col, text_col), id_col)
+    return inp.mapInPandas(_wf, schema=schema)
+
+
 def fingerprint_overlap_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -183,7 +238,7 @@ def fingerprint_overlap_pairs(
     bucket-explode path below runs unchanged.  Both paths emit the
     identical (id_a, id_b, n_common) set.
     """
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(id_col, "fp").distinct()
+    fps = _winnow_doc_fps(docs, id_col, text_col, k, w)
     dense = _dense_overlap_pairs(fps, docs, id_col, min_common, max_bucket)
     if dense is not None:
         return dense
