@@ -351,9 +351,16 @@ def read_geojson_spark(spark, path: str, features_per_part: int = 100_000, tmp_d
                     out.close()
             if n_part:
                 _STAGED_DIRS[cache_key] = (d, n_part)
+                # the LRU only bounds REUSE (advice r5, medium):
+                # previously-returned DataFrames lazily re-read their
+                # part files on every action, so eager rmtree here
+                # made a 5th distinct FeatureCollection break earlier
+                # DataFrames with FileNotFound on re-execution.  The
+                # atexit hook registered at staging time removes every
+                # staged dir at interpreter exit; eviction only
+                # forgets the cache entry.
                 while len(_STAGED_DIRS) > _STAGED_DIRS_MAX:
-                    _k, (old, _n) = _STAGED_DIRS.popitem(last=False)
-                    shutil.rmtree(old, ignore_errors=True)
+                    _STAGED_DIRS.popitem(last=False)
         if n_part == 0:
             if sniff_capped:
                 # no root features array AND a first line too big to

@@ -284,10 +284,30 @@ def _env_intersects(env, bbox) -> bool:
     )
 
 
-def _pdf_spark_schema(pdf) -> str:
+def _pdf_spark_schema(pdf, path=None, table=None) -> str:
     """Explicit DDL for an EMPTY driver-fallback result — Spark cannot
     infer a schema from zero rows.  geom/srid/rowid/table are known;
-    other columns map from the pandas dtype (object → string)."""
+    attribute columns map from the table's PRAGMA-declared types (the
+    same mapping _table_plan uses) so an empty bbox window or empty
+    table yields the SAME column types as a non-empty read — a
+    multi-table unionByName must not coerce bigint/double columns to
+    string (advice r5, low).  Columns without a usable declared type
+    (expression columns, foreign GPKGs) keep the pandas-dtype map."""
+    decl_types = {}
+    if path is not None and table is not None:
+        try:
+            con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+            try:
+                for _cid, name, decl, _nn, _dflt, _pk in con.execute(
+                    f'PRAGMA table_info("{table}")'
+                ):
+                    t = _spark_type_for_decl(decl)
+                    if t is not None:
+                        decl_types[name] = t
+            finally:
+                con.close()
+        except sqlite3.Error:
+            pass
     parts = []
     for n in pdf.columns:
         if n == "geom":
@@ -296,6 +316,8 @@ def _pdf_spark_schema(pdf) -> str:
             t = "bigint"
         elif n == "table":
             t = "string"
+        elif n in decl_types:
+            t = decl_types[n]
         else:
             t = {"i": "bigint", "u": "bigint", "f": "double", "b": "boolean",
                  "M": "timestamp"}.get(pdf[n].dtype.kind, "string")
@@ -637,7 +659,7 @@ def read_gpkg(
             if len(pdf) == 0:
                 # Spark cannot infer a schema from zero rows (an empty
                 # bbox window or an empty table must not crash)
-                dfs.append(spark.createDataFrame(pdf, schema=_pdf_spark_schema(pdf)))
+                dfs.append(spark.createDataFrame(pdf, schema=_pdf_spark_schema(pdf, path, t)))
                 continue
             dfs.append(spark.createDataFrame(pdf))
         else:
@@ -860,6 +882,25 @@ def _create_spatial_index_structures(con: sqlite3.Connection, table: str, geom_c
     )
     for sql in _rtree_trigger_sqls(table, geom_col, rtree):
         con.execute(sql)
+
+
+def _backfill_rtree(con: sqlite3.Connection, table: str, geom_col: str, rtree: str, max_fid: int):
+    """Index rows that were ALREADY in `table` before this write
+    (advice r5, high): appending with add_spatial_index to a
+    pre-existing unindexed table bulk-loads only the new rows'
+    envelopes, and read_gpkg(bbox=...) trusts the rtree as the
+    candidate set — pre-existing rows would silently vanish from
+    windowed reads.  Decodes through the registered ST_* functions
+    (slow python-per-row, but only the pre-existing rows pay it)."""
+    if max_fid:
+        con.execute(
+            f'INSERT OR REPLACE INTO "{rtree}" '
+            f'SELECT rowid, ST_MinX("{geom_col}"), ST_MaxX("{geom_col}"), '
+            f'ST_MinY("{geom_col}"), ST_MaxY("{geom_col}") FROM "{table}" '
+            f'WHERE rowid <= ? AND "{geom_col}" IS NOT NULL '
+            f'AND NOT ST_IsEmpty("{geom_col}")',
+            (max_fid,),
+        )
 
 
 def _next_fid_base(con: sqlite3.Connection, table: str) -> int:
@@ -1250,6 +1291,13 @@ def write_gpkg(
         rtree_name = f"rtree_{table}_{geom_col}" if spatial else None
         pre_indexed = spatial and _has_table(con, rtree_name)
         bulk_index = spatial and add_spatial_index and not pre_indexed
+        # rows already in the table before this write (append onto an
+        # unindexed table) must be indexed too — see _backfill_rtree
+        pre_max_fid = (
+            con.execute(f'SELECT COALESCE(MAX(rowid), 0) FROM "{table}"').fetchone()[0]
+            if bulk_index and exists
+            else 0
+        )
         env_batch: List = []
         if bulk_index and mode in ("stream", "driver"):
             con.execute(
@@ -1259,6 +1307,7 @@ def write_gpkg(
             # build-scoped big page cache (see merge-mode note): rtree
             # inserts churn interior pages; restored after the build
             con.execute("PRAGMA cache_size = -1048576")
+            _backfill_rtree(con, table, geom_col, rtree_name, pre_max_fid)
 
         def flush():
             if batch:
@@ -1376,6 +1425,8 @@ def write_gpkg(
                     # nothing on top of the cache — negative result
                     # recorded in OPTIMIZATION_r06.md).  Restored below.
                     con.execute("PRAGMA cache_size = -1048576")
+                    _backfill_rtree(con, table, geom_col, rtree_name, pre_max_fid)
+                    con.commit()
                     for base, ppath in part_bases:
                         con.execute("ATTACH ? AS __gpkg_part", (ppath,))
                         try:

@@ -1466,9 +1466,16 @@ def q_gpkg_bbox(spark, sf_dir) -> DataFrame:
     pts = customer_points(spark, sf_dir).select(
         "c_custkey", st_point("x", "y").alias("geom")
     )
-    path = os.path.join(tempfile.gettempdir(), "geospark_q_bbox.gpkg")
-    if os.path.exists(path):
-        os.unlink(path)
+    # unique per-run path (advice r5, low): a fixed name raced two
+    # concurrent harness runs (unlink-write-read windows overlap)
+    fd, path = tempfile.mkstemp(prefix="geospark_q_bbox_", suffix=".gpkg")
+    os.close(fd)
+    os.unlink(path)  # write_gpkg bootstraps a fresh file
+    # the returned DataFrame lazily re-reads the file on every action,
+    # so deletion is deferred to interpreter exit, not done here
+    import atexit
+
+    atexit.register(lambda p=path: os.path.exists(p) and os.unlink(p))
     gpkg_io.write_gpkg(pts, path, "pts", srid=27700, add_spatial_index=True)
     back = gpkg_io.read_gpkg(
         spark, path, "pts", bbox=(2000.0, 3000.0, 9000.0, 12000.0)

@@ -258,3 +258,30 @@ def test_write_int32_and_byte_columns_declared_integer(spark, tmp_path):
     assert vals == [(1, 10, 3), (2, None, 5)]
     back = {r["k"]: (r["v"], r["b"]) for r in gpkg.read_gpkg(spark, p, "t").collect()}
     assert back == {1: (10, 3), 2: (None, 5)}
+
+
+def test_append_add_spatial_index_backfills_existing_rows(spark, tmp_path):
+    """Advice r5 (high): appending with add_spatial_index=True to an
+    EXISTING unindexed table must index the pre-existing rows too —
+    the rtree is the bbox read's candidate set, so un-backfilled rows
+    silently vanish from windowed reads (repro: window returned 2 of
+    5 in-window rows)."""
+    mk = lambda xs: spark.createDataFrame(
+        [(gc.to_wkb(gc.from_wkt(f"POINT ({x} {x})")), int(x)) for x in xs],
+        "geom binary, i bigint",
+    ).coalesce(1)
+    for mode in ("merge", "stream"):
+        p = str(tmp_path / f"bf_{mode}.gpkg")
+        gpkg.write_gpkg(mk([1, 2, 3]), p, "t", srid=27700)  # no index
+        gpkg.write_gpkg(
+            mk([4, 5]), p, "t", srid=27700, if_exists="append",
+            add_spatial_index=True, sink_mode=mode,
+        )
+        rt = _rtree_rows(p)
+        assert len(rt) == 5, f"{mode}: rtree must cover pre-existing rows, got {rt}"
+        got = sorted(
+            r["i"] for r in gpkg.read_gpkg(
+                spark, p, "t", bbox=(0.0, 0.0, 10.0, 10.0)
+            ).collect()
+        )
+        assert got == [1, 2, 3, 4, 5], f"{mode}: bbox read dropped rows: {got}"

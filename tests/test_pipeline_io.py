@@ -277,8 +277,12 @@ def test_geojson_nonobject_feature_element_raises(spark, tmp_path):
 
 
 def test_geojson_staged_dir_cache_and_bound(spark, tmp_path):
-    """ADVICE r4: staged ndjson dirs are reused per (path, mtime) and
-    the LRU is bounded — oldest staged dir deleted past the cap."""
+    """ADVICE r4 + r5: staged ndjson dirs are reused per (path, mtime)
+    and the LRU bounds REUSE only — eviction past the cap must NOT
+    delete the directory (previously-returned DataFrames lazily
+    re-read their part files on every action; eager rmtree made a 5th
+    distinct FeatureCollection break earlier DataFrames with
+    FileNotFound).  Deletion belongs to the atexit hook."""
     import json
     import os
 
@@ -295,19 +299,22 @@ def test_geojson_staged_dir_cache_and_bound(spark, tmp_path):
     p0 = tmp_path / "a.json"
     fc(p0, 0)
     read_geojson_spark = gj.read_geojson_spark
-    read_geojson_spark(spark, str(p0)).count()
+    df0 = read_geojson_spark(spark, str(p0))
+    df0.count()
     assert len(gj._STAGED_DIRS) == 1
     d0 = next(iter(gj._STAGED_DIRS.values()))[0]
     read_geojson_spark(spark, str(p0)).count()  # reuse, no new dir
     assert len(gj._STAGED_DIRS) == 1
     assert next(iter(gj._STAGED_DIRS.values()))[0] == d0
-    # exceed the cap: oldest dir evicted and removed from disk
+    # exceed the cap: oldest entry forgotten, but the dir SURVIVES and
+    # the DataFrame staged from it still re-executes
     for i in range(1, gj._STAGED_DIRS_MAX + 1):
         p = tmp_path / f"m{i}.json"
         fc(p, i)
         read_geojson_spark(spark, str(p)).count()
     assert len(gj._STAGED_DIRS) == gj._STAGED_DIRS_MAX
-    assert not os.path.isdir(d0)
+    assert os.path.isdir(d0)
+    assert df0.count() == 1
 
 
 def test_gpkg_scan_column_name_collision_falls_back(spark, tmp_path):
