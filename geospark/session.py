@@ -38,6 +38,22 @@ def build_session(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "262144"),
         )
+        # Spark 4 defaults spark.sql.execution.arrow.maxBytesPerBatch to
+        # 64MB, and any finite value makes BatchedPythonArrowInput call
+        # arrowWriter.sizeInBytes() PER ROW while feeding python workers
+        # (underBatchSizeLimit, PythonArrowInput.scala) — measured ~7µs/row
+        # of pure JVM overhead: a consume-only mapInPandas over 112M
+        # 24-byte rows cost 34.5s vs 12.8s with the Int.MaxValue sentinel,
+        # which short-circuits the check.  Batch memory stays bounded by
+        # maxRecordsPerBatch above (262144 rows), which is the right cap
+        # for this engine's python stages: every kernel input is either
+        # narrow numerics (flagship/joins/knn) or documents whose row
+        # width the corpus bounds.  Deployments feeding multi-MB rows to
+        # python stages should restore a finite cap via this env knob.
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", "2147483647"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
