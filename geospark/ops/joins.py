@@ -147,6 +147,47 @@ def choose_level(polys: DataFrame, geom_col: str, grid: CellGrid, sample: int = 
     return lvl
 
 
+# Small-dimension fast path: one LIMIT-gated collect answers level
+# choice, the broadcast size gate AND supplies the broadcast rows —
+# replacing three separate driver jobs (choose_level sample, size
+# estimate, map collect; measured ~0.9s of fixed per-query cost at
+# local[32] on a 25-row dimension table).  Level is replayed from
+# choose_level's formula with an exact driver-side median — the level
+# affects candidate volume only, never the refined output.
+_SMALL_DIM_ROWS = 1024
+
+
+def _level_from_wkbs(wkbs, grid: CellGrid) -> int:
+    from ..cells.cellid import MAX_LEVEL
+
+    ext = []
+    for w in wkbs:
+        env = gc.from_wkb(w).envelope()
+        if env:
+            ext.append(max(env[2] - env[0], env[3] - env[1]))
+    med = float(np.median(ext)) if ext else 1.0
+    return min(grid.level_for_size(max(med, 1e-9)) + 3, MAX_LEVEL)
+
+
+def _small_dim_plan(polys, poly_id, poly_geom, grid, level, broadcast, threshold):
+    """Resolve (level, broadcast, rows) with one driver job when the
+    dimension table is small; rows is None when the table exceeds the
+    limit (callers fall back to the sampled jobs)."""
+    probe = polys.select(poly_id, poly_geom).limit(_SMALL_DIM_ROWS + 1).collect()
+    if len(probe) > _SMALL_DIM_ROWS:
+        if level is None:
+            level = choose_level(polys, poly_geom, grid)
+        if broadcast is None:
+            broadcast = estimate_build_bytes(polys, poly_geom) <= threshold
+        return level, broadcast, None
+    rows = [(r[0], bytes(r[1])) for r in probe if r[1] is not None]
+    if level is None:
+        level = _level_from_wkbs([w for _, w in rows], grid)
+    if broadcast is None:
+        broadcast = sum(len(w) + 64 for _, w in rows) <= threshold
+    return level, broadcast, rows
+
+
 def pip_join(
     points: DataFrame,
     polys: DataFrame,
@@ -184,16 +225,16 @@ def pip_join(
     tile_level: fuse Z-order tile assignment into the refine stage —
     output gains a `cell_id` column with no extra python stage.
     """
-    if level is None:
-        level = choose_level(polys, poly_geom, grid)
-
     spark = points.sparkSession
-    if broadcast is None:
+    small_rows = None
+    if level is None or broadcast is None:
         # size-gate the collect-based plan ONLY for the default: an
         # explicit True from a caller who knows the build side is small
         # is honored (and skips the estimate job); explicit False keeps
         # the shuffle cell-join
-        broadcast = estimate_build_bytes(polys, poly_geom) <= broadcast_threshold
+        level, broadcast, small_rows = _small_dim_plan(
+            polys, poly_id, poly_geom, grid, level, broadcast, broadcast_threshold
+        )
 
     # bbox_prefilter: carry the build bbox (FLATTENED doubles — a
     # struct column through the broadcast join measured +0.7s/256M
@@ -205,7 +246,20 @@ def pip_join(
     # (2M of 256M rows; the probe scan, not the socket, dominates).
     # Net positive only when the candidate fraction is high, so it is
     # opt-in rather than default.
-    if not bbox_prefilter:
+    if small_rows is not None and broadcast and not bbox_prefilter:
+        # collected small dimension: build the (cell, pid) table on the
+        # driver (same cover_geometry cells as the cover_cells UDF) —
+        # removes the build side's python stage from the timed path
+        from ..cells.coverage import cover_geometry
+
+        pid_type = polys.schema[poly_id].dataType.simpleString()
+        pairs = [
+            (int(cid), pid)
+            for pid, wkb in small_rows
+            for cid in cover_geometry(gc.from_wkb(wkb), grid, level)
+        ]
+        build = spark.createDataFrame(pairs, f"__cell long, __pid {pid_type}")
+    elif not bbox_prefilter:
         build = polys.select(
             F.col(poly_id).alias("__pid"),
             F.col(poly_geom).alias("__pwkb"),
@@ -234,9 +288,11 @@ def pip_join(
         # ship each polygon ONCE per executor via a broadcast dict —
         # carrying WKB through the join would duplicate it per
         # candidate row (measured 4× refine slowdown from Arrow bytes)
-        poly_map = {
-            r[0]: r[1] for r in polys.select(poly_id, poly_geom).collect()
-        }
+        poly_map = (
+            dict(small_rows)
+            if small_rows is not None
+            else {r[0]: r[1] for r in polys.select(poly_id, poly_geom).collect()}
+        )
         poly_bc = spark.sparkContext.broadcast(poly_map)
         build = build.drop("__pwkb")
     keep_cols = [c for c in (keep_cols or []) if c not in (point_id,)]
@@ -366,15 +422,16 @@ def predicate_join(
     overlapping, covered-by (index.clj:145-160).
     `predicate` orientation: predicate(left_geom, right_geom).
     """
-    if level is None:
-        level = choose_level(right, right_geom, grid)
-    if broadcast is None:
+    small_rows = None
+    if level is None or broadcast is None:
         # gate only the default; explicit True/False is the caller's call
-        broadcast = estimate_build_bytes(right, right_geom) <= broadcast_threshold
+        level, broadcast, small_rows = _small_dim_plan(
+            right, right_id, right_geom, grid, level, broadcast, broadcast_threshold
+        )
     if broadcast:
         return _predicate_join_broadcast(
             left, right, left_id, left_geom, right_id, right_geom,
-            predicate, level, grid,
+            predicate, level, grid, rows=small_rows,
         )
     build = right.select(
         F.col(right_id).alias("__rid"),
@@ -476,6 +533,7 @@ def _predicate_join_broadcast(
     predicate: str,
     level: int,
     grid: CellGrid,
+    rows=None,
 ) -> DataFrame:
     """Broadcast-index plan: cell→right-geometry index shipped once per
     executor, one python stage over the left side, zero shuffles."""
@@ -485,12 +543,14 @@ def _predicate_join_broadcast(
 
     fn = _PRED_FNS[predicate]
     # NULL geometries can never satisfy a predicate — skip them here
-    # (the shuffle path and pip_join tolerate them the same way)
-    rows = [
-        (r[0], bytes(r[1]))
-        for r in right.select(right_id, right_geom).collect()
-        if r[1] is not None
-    ]
+    # (the shuffle path and pip_join tolerate them the same way);
+    # rows from the small-dim fast path are already NULL-filtered
+    if rows is None:
+        rows = [
+            (r[0], bytes(r[1]))
+            for r in right.select(right_id, right_geom).collect()
+            if r[1] is not None
+        ]
     rids, geoms, envs = [], [], []
     cell_map = defaultdict(list)
     for rid, wkb in rows:

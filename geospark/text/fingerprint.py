@@ -348,10 +348,15 @@ def _dense_overlap_pairs(fps, docs, id_col, min_common, max_bucket):
     nblocks = math.ceil(n / bs)
     sub = 512  # rows of S held at once: sub x n float32 <= ~100 MB
 
-    def gen(batches):
+    def gen(rbatches):
+        # mapInArrow: the pair tables are emitted as RecordBatches built
+        # straight from the numpy outputs — at 1.8e8 output rows the
+        # pandas DataFrame detour was measurable (guide §4.2)
+        import pyarrow as pa
+
         ids_b, Xb = bX.value
-        for bdf in batches:
-            for blk in bdf["id"].tolist():
+        for rb in rbatches:
+            for blk in rb.column(0).to_pylist():
                 s, e = blk * bs, min((blk + 1) * bs, len(ids_b))
                 for s0 in range(s, e, sub):
                     e0 = min(s0 + sub, e)
@@ -360,12 +365,13 @@ def _dense_overlap_pairs(fps, docs, id_col, min_common, max_bucket):
                     gi, gj = np.nonzero(S >= min_common)
                     keep = gj > gi  # strict upper triangle: id_a < id_b
                     gi, gj = gi[keep], gj[keep]
-                    yield pd.DataFrame(
-                        {
-                            "id_a": ids_b[gi + s0],
-                            "id_b": ids_b[gj + s0],
-                            "n_common": S[gi, gj].astype(np.int64),
-                        }
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(ids_b[gi + s0]),
+                            pa.array(ids_b[gj + s0]),
+                            pa.array(S[gi, gj].astype(np.int64)),
+                        ],
+                        names=["id_a", "id_b", "n_common"],
                     )
 
     schema = StructType(
@@ -375,7 +381,7 @@ def _dense_overlap_pairs(fps, docs, id_col, min_common, max_bucket):
             StructField("n_common", LongType()),
         ]
     )
-    return spark.range(0, nblocks, 1, nblocks).mapInPandas(gen, schema=schema)
+    return spark.range(0, nblocks, 1, nblocks).mapInArrow(gen, schema=schema)
 
 
 def winnow_sql(k: int = 5, w: int = 8, table: str = "documents") -> str:
