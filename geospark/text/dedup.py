@@ -159,17 +159,19 @@ def minhash_lsh_pairs(
         grouped = grouped.where(F.col("__docs") <= max_bucket)
     # group-level pair generation (posexplode/slice skew spread, then
     # the cross-band dedupe on group-id pairs — tiny vs doc pairs)
+    # slice BEFORE the spread exchange: a posexplode row only needs the
+    # tail of its bucket array, and shipping the full array moved
+    # Σ bucket² id copies through the shuffle instead of Σ bucket²/2
+    # (measured 1.4× on the simhash twin of this pattern at sf1.0)
     first = (
         grouped.where(F.size("__gids") > 1)
         .select(F.posexplode("__gids").alias("__i", "__ga"), F.col("__gids"))
         .where(F.col("__i") < F.size("__gids") - 1)
+        .select("__ga", "__i", F.slice("__gids", F.col("__i") + 2, F.size("__gids")).alias("__tail"))
     )
     gpairs = (
         first.repartition("__ga", "__i")
-        .select(
-            "__ga",
-            F.explode(F.slice("__gids", F.col("__i") + 2, F.size("__gids"))).alias("__gb"),
-        )
+        .select("__ga", F.explode("__tail").alias("__gb"))
         .distinct()
     )
     # groups with >=2 members share every band with themselves: all
@@ -236,12 +238,17 @@ def jaccard_pairs(
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
             .where(F.size("__ids") > 1)
         )
-        first = tok_groups.select(
-            F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
-        ).where(F.col("__i") < F.size("__ids") - 1)
+        # slice before the spread exchange (see minhash_lsh_pairs)
+        first = (
+            tok_groups.select(
+                F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
+            )
+            .where(F.col("__i") < F.size("__ids") - 1)
+            .select("id_a", "__i", F.slice("__ids", F.col("__i") + 2, F.size("__ids")).alias("__tail"))
+        )
         pairs = first.repartition("id_a", "__i").select(
             "id_a",
-            F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias("id_b"),
+            F.explode("__tail").alias("id_b"),
         )
         common = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
     return (
@@ -386,10 +393,13 @@ def simhash_near_dups(
             F.collect_list(F.struct(F.col("__gid").alias("g"), F.col("simhash").alias("s")))
         ).alias("__gs")
     )
+    # slice BEFORE the spread exchange (see minhash_lsh_pairs): the
+    # full-array shuffle cost 5.5s vs 3.9s sliced at sf1.0
     first = (
         grouped.where(F.size("__gs") > 1)
         .select(F.posexplode("__gs").alias("__i", "__a"), F.col("__gs"))
         .where(F.col("__i") < F.size("__gs") - 1)
+        .select("__a", "__i", F.slice("__gs", F.col("__i") + 2, F.size("__gs")).alias("__tail"))
     )
     # Hamming refine BEFORE the cross-band dedupe: surviving group
     # pairs are a tiny fraction of band candidates, so the distinct is
@@ -398,7 +408,7 @@ def simhash_near_dups(
         first.repartition("__a", "__i")
         .select(
             "__a",
-            F.explode(F.slice("__gs", F.col("__i") + 2, F.size("__gs"))).alias("__bb2"),
+            F.explode("__tail").alias("__bb2"),
         )
         .select(
             F.col("__a.g").alias("__ga"),

@@ -262,14 +262,16 @@ def fingerprint_overlap_pairs(
                 max_bucket,
             )
         groups = groups.where(F.size("__ids") <= max_bucket)
+    # slice before the spread exchange (see minhash_lsh_pairs)
     first = (
         groups.where(F.size("__ids") > 1)
         .select(F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids"))
         .where(F.col("__i") < F.size("__ids") - 1)
+        .select("id_a", "__i", F.slice("__ids", F.col("__i") + 2, F.size("__ids")).alias("__tail"))
     )
     pairs = first.repartition("id_a", "__i").select(
         "id_a",
-        F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias("id_b"),
+        F.explode("__tail").alias("id_b"),
     )
     return (
         pairs.groupBy("id_a", "id_b")
