@@ -783,7 +783,13 @@ def _quality_exprs(text):
 
 
 def q_text_quality(spark, sf_dir) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    from .partitioning import spread_small_scan
+
+    # no filter in this query, so (unlike corpus_clean) nothing gets
+    # rewritten below the repartition: the replace/length battery
+    # evaluates once, post-exchange, core-count-wide instead of on the
+    # single row group of the documents parquet
+    d = spread_small_scan(_t(spark, sf_dir, "documents"), "doc_id")
     q = _quality_exprs(F.col("text"))
     return d.select("doc_id", *[expr.alias(name) for name, expr in q.items()])
 

@@ -313,9 +313,13 @@ def _dense_overlap_pairs(fps, docs, id_col, min_common, max_bucket):
     nd, nf, nr = stats["nd"], stats["nf"], stats["nr"]
     if nr == 0 or nf > DENSE_MAX_FP or nr > DENSE_MAX_ROWS or nd * nf > DENSE_MAX_CELLS:
         return None
-    if max_bucket is not None:
-        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
-        oversized = counts.where(F.col("__n") > max_bucket).count()
+    pdf = fps.select(id_col, "fp").toPandas()
+    if max_bucket is not None and len(pdf):
+        # the incidence is on the driver anyway — apply the boilerplate
+        # guard here (identical drop + log) instead of paying a Spark
+        # count job and a broadcast join for it
+        counts = pdf["fp"].value_counts()
+        oversized = int((counts > max_bucket).sum())
         if oversized:
             import logging
 
@@ -325,10 +329,7 @@ def _dense_overlap_pairs(fps, docs, id_col, min_common, max_bucket):
                 oversized,
                 max_bucket,
             )
-            fps = fps.join(
-                F.broadcast(counts.where(F.col("__n") <= max_bucket).select("fp")), "fp"
-            )
-    pdf = fps.select(id_col, "fp").toPandas()
+            pdf = pdf[pdf["fp"].map(counts) <= max_bucket]
     if len(pdf) == 0:
         schema = StructType(
             [
