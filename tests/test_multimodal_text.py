@@ -371,3 +371,43 @@ def test_cosine_matmul_chunked_equals_unchunked(spark):
     many_s = many.sort_values(k).reset_index(drop=True)
     pd.testing.assert_frame_equal(one_s, many_s)
     assert len(one_s) >= 20
+
+
+def test_simhash_two_level_banding_lossless(spark):
+    """The two-level (band, sub-band) bucketing must reproduce the exact
+    brute-force pair set: every pair within max_hamming, each exactly
+    once — including identical-fingerprint (hamming 0) pairs."""
+    import itertools
+    import random
+
+    from geospark.text.dedup import simhash64, simhash_near_dups
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(60)]
+    texts = []
+    # clusters of near-identical documents (1-2 word swaps -> small
+    # hamming), some exact copies, plus unrelated background docs
+    for c in range(6):
+        base = rng.sample(words, 20)
+        for j in range(5):
+            t = list(base)
+            for _ in range(rng.randint(0, 2)):
+                t[rng.randrange(len(t))] = rng.choice(words)
+            texts.append(" ".join(t))
+        texts.append(" ".join(base))  # exact copy of the cluster base
+    for _ in range(20):
+        texts.append(" ".join(rng.sample(words, 12)))
+    docs = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    sdf = spark.createDataFrame(docs)
+
+    for max_hamming in (2, 3):
+        got = simhash_near_dups(sdf, max_hamming=max_hamming).toPandas()
+        got_set = set(zip(got["id_a"], got["id_b"], got["hamming"]))
+        assert len(got_set) == len(got), "pair emitted more than once"
+        sh = simhash64(sdf).toPandas().set_index("doc_id")["simhash"]
+        want = set()
+        for a, b in itertools.combinations(sorted(sh.index), 2):
+            h = bin((int(sh[a]) ^ int(sh[b])) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= max_hamming:
+                want.add((a, b, h))
+        assert got_set == want
