@@ -185,25 +185,40 @@ def knn_join(
             F.col("__env.xmax").alias("__xmax"),
             F.col("__env.ymax").alias("__ymax"),
         ).where(F.col("__xmin").isNotNull())
+
+        b = env.select(
+            "__bid",
+            "__bwkb",
+            "__xmin",
+            "__ymin",
+            "__xmax",
+            "__ymax",
+            F.explode(env_cells("__xmin", "__ymin", "__xmax", "__ymax")).alias("__cell"),
+        )
     else:
-        env = build.select(
+        # point build side: the envelope is degenerate (xmin == xmax,
+        # ymin == ymax), so its cover is exactly ONE cell — the cell
+        # containing the point.  cell_id_expr replays the identical
+        # cell_xy_expr float pipeline (pack forms are property-tested
+        # bit-identical), so __cell values match env_cells_expr's
+        # single-element cover exactly, while staying inside
+        # whole-stage codegen: env_cells_expr's sequence × transform ×
+        # flatten lambdas are evaluated INTERPRETED per row, which
+        # made this encode the dominant cost of knn/range_query on a
+        # big point build side (measured at 150k rows: 0.85s for the
+        # explode form vs scan floor 0.09s; knn 1.18s → 0.57s,
+        # range_query 1.13s → 0.42s end-to-end).
+        from ..cells.cellexpr import cell_id_expr
+
+        b = build.select(
             F.col(build_id).alias("__bid"),
             F.col(bx).alias("__xmin"),
             F.col(by).alias("__ymin"),
             F.col(bx).alias("__xmax"),
             F.col(by).alias("__ymax"),
             F.lit(None).cast("binary").alias("__bwkb"),
+            cell_id_expr(F.col(bx), F.col(by), level, grid).alias("__cell"),
         )
-
-    b = env.select(
-        "__bid",
-        "__bwkb",
-        "__xmin",
-        "__ymin",
-        "__xmax",
-        "__ymax",
-        F.explode(env_cells("__xmin", "__ymin", "__xmax", "__ymax")).alias("__cell"),
-    )
 
     def _axis_gap(lo_a, hi_a, lo_b, hi_b):
         return F.greatest(F.lit(0.0), F.greatest(lo_b - hi_a, lo_a - hi_b))

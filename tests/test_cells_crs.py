@@ -249,3 +249,37 @@ def test_env_cells_expr_matches_numpy_spec(spark):
     )
     for i, (g, w_) in enumerate(zip(got, want)):
         assert list(g) == list(w_), f"row {i}: {list(g)[:5]} vs {list(w_)[:5]}"
+
+
+def test_point_cover_equals_cell_id_expr(spark):
+    """knn_join's point build side replaced the env_cells_expr explode
+    with a direct cell_id_expr (the degenerate envelope covers exactly
+    the cell containing the point, and the HOF cover is interpreted
+    per row while cell_id_expr codegens).  Pin the equivalence the
+    rewrite rests on: for ANY point — boundary-aligned, NaN, ±inf,
+    out-of-domain — env_cells_expr(x, y, x, y) == [cell_id_expr(x, y)]."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geospark.cells.cellexpr import cell_id_expr, env_cells_expr
+    from geospark.cells.cellid import DEFAULT_GRID
+
+    level = 12
+    rng = np.random.RandomState(23)
+    n = 400
+    cs = DEFAULT_GRID.cell_size(level)
+    x = rng.uniform(DEFAULT_GRID.x0 - 100, DEFAULT_GRID.x0 + DEFAULT_GRID.span + 100, n)
+    y = rng.uniform(DEFAULT_GRID.y0 - 100, DEFAULT_GRID.y0 + DEFAULT_GRID.span + 100, n)
+    x[:100] = DEFAULT_GRID.x0 + np.round(x[:100] / cs) * cs  # cell boundaries
+    x[380:385] = np.nan
+    y[385:390] = np.inf
+    x[390:395] = -1e300
+    y[395:400] = np.nan
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+    out = df.select(
+        env_cells_expr(F.col("x"), F.col("y"), F.col("x"), F.col("y"), level, DEFAULT_GRID).alias("cover"),
+        cell_id_expr(F.col("x"), F.col("y"), level, DEFAULT_GRID).alias("cell"),
+    ).toPandas()
+    for i, (cover, cell) in enumerate(zip(out["cover"], out["cell"])):
+        assert list(cover) == [cell], f"row {i}: {list(cover)} vs {cell}"
