@@ -255,17 +255,20 @@ def ivf_topk_deterministic(
 
 
 def _cosine_near_dups_matmul(
-    c: DataFrame, threshold: float, chunk_doubles: int = 64_000_000
+    c: DataFrame, threshold: float, rows, chunk_doubles: int = 64_000_000
 ) -> DataFrame:
     """Broadcast-matrix brute force: one corpus pass, numpy sims per
     Arrow batch, emit (id_a < id_b, sim ≥ t).  Each UNORDERED pair is
     computed once on the side holding its smaller id.
 
+    `rows` is the already-collected corpus (the caller's size gate
+    collects it anyway; re-collecting here would pay a second job —
+    the single-collect planning discipline of ops/joins.py).
+
     The B×N sims matrix is computed in CORPUS-COLUMN CHUNKS so peak
     per-batch memory is bounded by `chunk_doubles` float64s (~512 MB
     default) independent of corpus size N — a 10k-row batch against a
     500k corpus would otherwise allocate a 40 GB dense matrix."""
-    rows = c.collect()
     ids = np.asarray([r[0] for r in rows])
     M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     order = np.argsort(ids, kind="stable")
@@ -350,8 +353,15 @@ def cosine_near_dups(
         F.col(cid).alias("__id"),
         F.transform(F.col(emb), lambda v: v.cast("double")).alias("__e"),
     )
-    if candidates is None and matmul and corpus.limit(matmul_max + 1).count() <= matmul_max:
-        return _cosine_near_dups_matmul(c, threshold)
+    if candidates is None and matmul:
+        # ONE driver job answers the size gate AND hands the matmul
+        # path its corpus: limit(max+1) returns every row while the
+        # corpus is within the gate, and the +1 sentinel detects
+        # overflow without a separate count job (was: a count job,
+        # then a full collect — two jobs of pure fixed cost per call)
+        rows = c.limit(matmul_max + 1).collect()
+        if len(rows) <= matmul_max:
+            return _cosine_near_dups_matmul(c, threshold, rows)
     if candidates is not None:
         # normalize to the exact-form contract (id_a < id_b, no self
         # pairs): raw LSH candidates contain self matches and both

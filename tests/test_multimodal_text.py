@@ -363,9 +363,10 @@ def test_cosine_matmul_chunked_equals_unchunked(spark):
     ).select(
         "__id", F.col("embedding").cast("array<double>").alias("__e")
     )
-    one = _cosine_near_dups_matmul(e, 0.95).toPandas()
+    rows = e.collect()
+    one = _cosine_near_dups_matmul(e, 0.95, rows).toPandas()
     # chunk_doubles=4096 → 4096/B columns per chunk → many chunks
-    many = _cosine_near_dups_matmul(e, 0.95, chunk_doubles=4096).toPandas()
+    many = _cosine_near_dups_matmul(e, 0.95, rows, chunk_doubles=4096).toPandas()
     k = ["id_a", "id_b"]
     one_s = one.sort_values(k).reset_index(drop=True)
     many_s = many.sort_values(k).reset_index(drop=True)
