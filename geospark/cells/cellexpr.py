@@ -197,6 +197,64 @@ def env_cells_expr(
     )
 
 
+def explode_cover3(
+    df,
+    xmin: Column,
+    ymin: Column,
+    xmax: Column,
+    ymax: Column,
+    level: int,
+    grid: CellGrid,
+    out_col: str = "__cell",
+):
+    """df with every column plus `out_col` = one exploded cover cell
+    per row, for bboxes KNOWN to span at most 3 cells per axis (true
+    whenever width/height ≤ 2 × cell_size, e.g. a point envelope
+    expanded by rng with cell_size ≥ rng).  Same cell SET per row as
+    `explode(env_cells_expr(...))` — pinned by a property test — but
+    ~32× faster on a large side (0.97s vs 31.3s at 20M rows / 174M
+    cover cells, local[32]).
+
+    Why a DataFrame helper and not an array expression: every
+    expression form measured WORSE than the interpreted HOF cover it
+    was meant to replace.  env_cells_expr's sequence × transform ×
+    flatten lambdas are interpreted per row (~1.5µs/row); an
+    array-of-9-packs generator made the fused Generate stage inline
+    the Morton packs into ONE giant produce/consume method that blows
+    past HotSpot's DontCompileHugeMethods threshold, so the whole
+    stage ran as interpreted bytecode (47-86s for the same 20M rows —
+    Project codegen splits expressions into JIT-able methods, Generate
+    codegen does not); `array_distinct` dedupe is CodegenFallback and
+    re-evaluates everything per row (113s).  The shape that is fast
+    keeps the Generate TRIVIAL and the arithmetic in ordinary
+    Project/Filter nodes: materialize the four clamped cell indices,
+    explode a literal 0..8 grid offset, filter offsets past the range,
+    pack the single surviving (ix, iy) per row.
+
+    Order of emitted cells differs from env_cells_expr (grid-offset
+    order vs ix-major enumeration); every consumer feeds an unordered
+    equi-join, so only the per-row SET matters."""
+    if level > MAX_LEVEL:
+        raise ValueError(f"cell level {level} > MAX_LEVEL {MAX_LEVEL}")
+    ix0, iy0 = cell_xy_expr(xmin, ymin, level, grid)
+    ix1, iy1 = cell_xy_expr(xmax, ymax, level, grid)
+    step = df.select(
+        "*",
+        ix0.alias("__cv_ix0"),
+        iy0.alias("__cv_iy0"),
+        F.greatest(ix0, ix1).alias("__cv_ix1"),
+        F.greatest(iy0, iy1).alias("__cv_iy1"),
+    ).select("*", F.explode(F.array(*[F.lit(k) for k in range(9)])).alias("__cv_k"))
+    ix = F.col("__cv_ix0") + (F.col("__cv_k") % 3)
+    iy = F.col("__cv_iy0") + (F.col("__cv_k") / 3).cast("long")
+    m = _part1by1_expr(ix).bitwiseOR(F.shiftleft(_part1by1_expr(iy), 1))
+    return (
+        step.where((ix <= F.col("__cv_ix1")) & (iy <= F.col("__cv_iy1")))
+        .select("*", F.shiftleft(m, 6).bitwiseOR(F.lit(level)).alias(out_col))
+        .drop("__cv_ix0", "__cv_iy0", "__cv_ix1", "__cv_iy1", "__cv_k")
+    )
+
+
 def pip_covers_expr(px: Column, py: Column, edges: Column) -> Column:
     """covers(polygon, point) over an array<struct<x1,y1,x2,y2>> edge
     column — the exact PreparedPolygon._locate_many semantics

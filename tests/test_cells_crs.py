@@ -283,3 +283,52 @@ def test_point_cover_equals_cell_id_expr(spark):
     ).toPandas()
     for i, (cover, cell) in enumerate(zip(out["cover"], out["cell"])):
         assert list(cover) == [cell], f"row {i}: {list(cover)} vs {cell}"
+
+
+def test_explode_cover3_matches_general_cover(spark):
+    """explode_cover3 (the JIT-able ≤3×3 cover used for the kNN query
+    side) emits the same per-row cell SET as exploding the general
+    env_cells_expr, for every bbox within its contract (span ≤
+    2·cell_size per axis) — boundary-aligned, NaN, ±inf, out-of-domain
+    and rng=0 cases included — with no duplicates."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geospark.cells.cellexpr import env_cells_expr, explode_cover3
+    from geospark.cells.cellid import DEFAULT_GRID
+
+    level = DEFAULT_GRID.level_for_size(2000.0)
+    assert DEFAULT_GRID.cell_size(level) >= 2000.0
+    rng_ = np.random.RandomState(31)
+    n = 500
+    cs = DEFAULT_GRID.cell_size(level)
+    x = rng_.uniform(DEFAULT_GRID.x0 - 100, DEFAULT_GRID.x0 + DEFAULT_GRID.span + 100, n)
+    y = rng_.uniform(DEFAULT_GRID.y0 - 100, DEFAULT_GRID.y0 + DEFAULT_GRID.span + 100, n)
+    x[:120] = DEFAULT_GRID.x0 + np.round(x[:120] / cs) * cs  # cell boundaries
+    x[460:470] = np.nan
+    y[470:480] = np.inf
+    x[480:490] = -1e300
+    y[490:500] = np.nan
+    # per-row expansion radius in [0, cell_size] (the operator's
+    # contract is rng <= cell_size; 0 and the full cs included)
+    r = rng_.uniform(0.0, cs, n)
+    r[:50] = 0.0
+    r[50:100] = cs
+    pdf = pd.DataFrame(
+        {"row": np.arange(n), "xmin": x - r, "ymin": y - r, "xmax": x + r, "ymax": y + r}
+    )
+    df = spark.createDataFrame(pdf)
+    args = (F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
+    general = (
+        df.select("row", F.explode(env_cells_expr(*args, level, DEFAULT_GRID)).alias("c"))
+        .toPandas().groupby("row")["c"].apply(list).to_dict()
+    )
+    fast = (
+        explode_cover3(df, *args, level, DEFAULT_GRID, out_col="c")
+        .select("row", "c").toPandas().groupby("row")["c"].apply(list).to_dict()
+    )
+    assert set(general) == set(fast)
+    for i in general:
+        assert set(general[i]) == set(fast[i]), f"row {i}"
+        assert len(fast[i]) == len(set(fast[i])), f"row {i}: duplicates"
