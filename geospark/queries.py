@@ -1112,16 +1112,28 @@ def q_events_hourly(spark, sf_dir) -> DataFrame:
     vs DuckDB naive TIMESTAMP hash differently in the driver even when
     every value is identical (round-1 fail was representation-only)."""
     e = _t(spark, sf_dir, "events")
+    # group by the TRUNCATED TIMESTAMP and format after the aggregate:
+    # date_format is ~1-2µs/row of JVM time formatting and was the
+    # dominant cost of this query as a group key (evaluated per input
+    # row in the partial aggregate); formatting is injective on
+    # hour-truncated timestamps in one session tz, so formatting the
+    # |groups| output rows instead is exactly output-equivalent
+    # (oracle hash-exact; measured 0.79 → 0.61s at 1M events in the
+    # same host window, later warm runs at 0.49)
     return (
         e.groupBy(
-            F.date_format(
-                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
-            ).alias("hour"),
+            F.date_trunc("hour", F.col("ts")).alias("__hour_ts"),
             F.col("event_type"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_sum"),
+        )
+        .select(
+            F.date_format(F.col("__hour_ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "cents_sum",
         )
     )
 
